@@ -1,0 +1,122 @@
+"""Politeness, robots, and deterministic budget truncation (axis B).
+
+Reference analog: ``Semaphore::new(k)`` per crawler = per-host in-flight
+budget (/root/reference/src/crawlers/wintergreen.rs:36,45; sizes 5/5/5/1/1
+at src/processing/crawler.rs:43-47).  Here the budget is a per-round fetch
+quota from the ``politeness`` dimension table, enforced without a single
+giant per-host sort:
+
+* **host-salted two-phase top-b** — a global ``row_number() over
+  (partition by host order by priority desc, ord)`` would funnel a hot
+  host's entire frontier through one reducer.  Instead phase 1 ranks
+  within ``(host, salt)`` where ``salt = pmod(xxhash64(url), splits)``
+  and keeps the top ``b`` of each salt; phase 2 ranks the surviving
+  ``<= b * splits`` rows per host and keeps exactly ``b``.  The union of
+  per-salt top-b provably contains the global top-b, so the result is
+  identical to the naive plan — deterministic, order-parity-preserving
+  (SURVEY.md §2.7).
+* **explicit skew splitting** — ``splits`` per host is scaled to its
+  frontier share (a tiny per-host count aggregate each round), so one hot
+  domain (10x the volume in the synthetic world) fans out across salts
+  while cold hosts skip the second phase cost.
+* **robots** — disallow prefixes live in the politeness table; evaluation
+  is a vectorized prefix match over Arrow batches (the reference has no
+  robots handling — north-rule extension).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+DEFAULT_BUDGET = 5
+
+
+def host_splits(frontier: DataFrame, rows_per_salt: int = 100_000, max_splits: int = 64) -> dict[str, int]:
+    """Per-host salt counts scaled to frontier volume (hot-host skew split)."""
+    counts = frontier.groupBy("host").count().collect()
+    return {
+        r["host"]: max(1, min(max_splits, int(r["count"] // rows_per_salt) + 1))
+        for r in counts
+    }
+
+
+def schedule_round(
+    frontier: DataFrame,
+    politeness: DataFrame,
+    default_budget: int = DEFAULT_BUDGET,
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic per-host top-``budget_per_round`` of the frontier.
+
+    Order key: (priority desc, depth asc, ord asc) — with the parity
+    priority (-depth) this is exactly the oracle's (depth, ord) prefix.
+    """
+    if splits is None:
+        splits = host_splits(frontier)
+    spark = frontier.sparkSession
+    splits_df = F.broadcast(
+        spark.createDataFrame(
+            [(h, s) for h, s in splits.items()] or [("__none__", 1)],
+            "host string, _splits int",
+        )
+    )
+    budgets = F.broadcast(
+        politeness.select(
+            "host", F.col("budget_per_round").alias("_budget")
+        )
+    )
+    df = (
+        frontier.join(budgets, "host", "left")
+        .withColumn("_budget", F.coalesce("_budget", F.lit(default_budget)))
+        .join(splits_df, "host", "left")
+        .withColumn("_splits", F.coalesce("_splits", F.lit(1)))
+        .withColumn("_salt", F.pmod(F.xxhash64("url"), F.col("_splits")))
+    )
+    order = [F.col("priority").desc(), F.col("depth").asc(), F.col("ord").asc()]
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= F.col("_budget"))
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.col("_budget"))
+        .drop("_rn1", "_rn2", "_salt", "_splits", "_budget")
+    )
+
+
+def robots_blocked_udf(rules: dict[str, list[str]]):
+    """Vectorized robots check: (host, path-bearing url) -> blocked flag.
+
+    ``rules`` maps host -> disallow path prefixes; captured once per
+    executor, evaluated with pandas string ops per Arrow batch."""
+    rule_tuples = {h: tuple(p) for h, p in rules.items() if p}
+
+    @F.pandas_udf(BooleanType())
+    def blocked(host: pd.Series, url: pd.Series) -> pd.Series:
+        out = pd.Series(False, index=url.index)
+        # path = everything after scheme://host
+        paths = url.str.replace(r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True)
+        for h, prefixes in rule_tuples.items():
+            mask = host == h
+            if mask.any():
+                out.loc[mask] = paths[mask].str.startswith(prefixes)
+        return out
+
+    return blocked
+
+
+def apply_robots(
+    candidates: DataFrame, politeness_rules: dict[str, list[str]]
+) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (allowed, robots-rejected)."""
+    if not any(politeness_rules.values()):
+        return candidates, candidates.limit(0)
+    blocked = robots_blocked_udf(politeness_rules)
+    flagged = candidates.withColumn("_blocked", blocked(F.col("host"), F.col("url")))
+    return (
+        flagged.filter(~F.col("_blocked")).drop("_blocked"),
+        flagged.filter(F.col("_blocked")).drop("_blocked"),
+    )

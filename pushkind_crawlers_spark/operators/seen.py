@@ -1,0 +1,297 @@
+"""URL-seen membership at scale (north rule, axis A).
+
+The authoritative seen set is a snapshot table keyed on
+``xxhash64(canonical_url)``.  Probing a 10^10-row table with an anti-join
+every round would shuffle the full candidate set against it; instead:
+
+1. **Broadcast Bloom fast path** — a numpy bit-array Bloom filter built
+   distributively over the seen table (per-partition bitmaps OR-reduced).
+   Bloom "new" is trusted (no false negatives); Bloom "maybe seen" falls
+   through to step 2.  The filter is maintained *incrementally*: each
+   round only the new links' bitmap is OR-ed in — no rebuild over the
+   full seen table.  At 10^10 rows a single filter would need ~12 GB for
+   1% fpp, so production shards it by ``pmod(url_hash, n_shards)`` with
+   each executor holding the shards for its hash range; the structure
+   below is that per-shard unit.
+
+2. **Per-partition cuckoo confirm** — the maybe-seen rows are cogrouped
+   with the seen table on ``pmod(url_hash, n_buckets)``; each partition
+   builds (at scale: caches) a cuckoo filter of its seen bucket and probes
+   the candidates vectorized.  Cuckoo-negative is trusted new; cuckoo-
+   positive is confirmed against the exact bucket (hash64 collisions are
+   real at 10^10 rows — final equality is on the URL string, mirroring the
+   reference's string-keyed HashSet at wintergreen.rs:176).
+
+Both structures are false-positive-only, so the result is exactly equal to
+a full anti-join — verified property-style in tests.
+
+Reference analog: ``HashSet<String>`` seen-set
+(/root/reference/src/crawlers/wintergreen.rs:175-188).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _MIX).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class NumpyBloom:
+    """Vectorized Bloom filter over int64 keys (double hashing)."""
+
+    def __init__(self, n_bits: int, n_hashes: int, words: np.ndarray | None = None):
+        self.n_bits = int(n_bits)
+        self.n_hashes = int(n_hashes)
+        self.words = words if words is not None else np.zeros(
+            (self.n_bits + 63) // 64, dtype=np.uint64
+        )
+
+    @classmethod
+    def sized_for(cls, expected_items: int, fpp: float = 0.01) -> "NumpyBloom":
+        expected_items = max(expected_items, 64)
+        m = int(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+        m = 1 << max(10, (m - 1).bit_length())  # power of two, >=1024 bits
+        k = max(1, round(m / expected_items * math.log(2)))
+        return cls(m, min(k, 8))
+
+    def _indices(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes.astype(np.int64).view(np.uint64)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        ks = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return (h1[None, :] + ks * h2[None, :]) & np.uint64(self.n_bits - 1)
+
+    def add(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        idx = self._indices(np.asarray(hashes)).ravel()
+        np.bitwise_or.at(self.words, idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63)))
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(np.asarray(hashes))
+        bits = (self.words[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def union_words(self, other_words: np.ndarray) -> None:
+        np.bitwise_or(self.words, other_words, out=self.words)
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, n_bits: int, n_hashes: int, data: bytes) -> "NumpyBloom":
+        return cls(n_bits, n_hashes, np.frombuffer(data, dtype=np.uint64).copy())
+
+
+def build_bloom_distributed(
+    df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
+) -> NumpyBloom:
+    """Build a NumpyBloom over ``df[col]`` (int64) with a distributed
+    map-side bitmap per partition, OR-reduced at the driver.  Only bitmap
+    bytes cross the wire, never keys."""
+    proto = NumpyBloom.sized_for(expected_items, fpp)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = NumpyBloom(n_bits, n_hashes)
+        for pdf in batches:
+            local.add(pdf[col].to_numpy(dtype=np.int64))
+        yield pd.DataFrame({"words": [local.to_bytes()]})
+
+    out = df.select(col).mapInPandas(part, "words binary").collect()
+    for row in out:
+        proto.union_words(np.frombuffer(row["words"], dtype=np.uint64))
+    return proto
+
+
+def add_to_bloom(bloom: NumpyBloom, df: DataFrame, col: str) -> None:
+    """Incremental maintenance: OR the bitmap of a (small) new-keys frame in."""
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = NumpyBloom(bloom.n_bits, bloom.n_hashes)
+        for pdf in batches:
+            local.add(pdf[col].to_numpy(dtype=np.int64))
+        yield pd.DataFrame({"words": [local.to_bytes()]})
+
+    for row in df.select(col).mapInPandas(part, "words binary").collect():
+        bloom.union_words(np.frombuffer(row["words"], dtype=np.uint64))
+
+
+class CuckooFilter:
+    """Cuckoo filter over int64 keys: 4-slot buckets, uint16 fingerprints.
+
+    Supports insert/delete (unlike Bloom) so per-bucket filters can be
+    maintained incrementally across rounds.  ``contains`` is fully
+    vectorized; inserts are batch-vectorized with a small eviction loop
+    for residual collisions.
+    """
+
+    SLOTS = 4
+
+    def __init__(self, capacity: int):
+        n_buckets = max(8, 1 << math.ceil(math.log2(max(capacity, 1) / self.SLOTS / 0.84 + 1)))
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self.count = 0
+
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = (_splitmix64(h.view(np.uint64)) & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)
+
+    def _b1(self, h: np.ndarray) -> np.ndarray:
+        return (h.view(np.uint64) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def _b2(self, b1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        alt = _splitmix64(fp.astype(np.uint64))
+        return ((b1.astype(np.uint64) ^ alt) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def insert(self, hashes: np.ndarray) -> int:
+        h = np.asarray(hashes, dtype=np.int64)
+        if h.size == 0:
+            return 0
+        fp = self._fp(h)
+        b1 = self._b1(h)
+        b2 = self._b2(b1, fp)
+        pending = np.arange(h.size)
+        # vectorized passes: first-unique-per-bucket into a free slot
+        for buckets in (b1, b2, b1, b2):
+            for slot in range(self.SLOTS):
+                if pending.size == 0:
+                    break
+                tgt = buckets[pending]
+                uniq, first = np.unique(tgt, return_index=True)
+                cand = pending[first]
+                free = self.table[uniq, slot] == 0
+                self.table[uniq[free], slot] = fp[cand[free]]
+                placed = np.zeros(pending.size, dtype=bool)
+                placed[first[free]] = True
+                pending = pending[~placed]
+        # eviction loop for the residue
+        failures = 0
+        for i in pending:
+            if not self._insert_one(int(b1[i]), int(fp[i])):
+                failures += 1
+        self.count += h.size - failures
+        return failures
+
+    def _insert_one(self, b: int, f: int, max_kicks: int = 200) -> bool:
+        rng_state = np.uint64(b * 0x9E3779B9 + f)
+        for _ in range(max_kicks):
+            row = self.table[b]
+            empty = np.where(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = f
+                return True
+            rng_state = _splitmix64(np.array([rng_state], dtype=np.uint64))[0]
+            slot = int(rng_state % self.SLOTS)
+            f, self.table[b, slot] = int(self.table[b, slot]), f
+            alt = int(_splitmix64(np.array([f], dtype=np.uint64))[0])
+            b = (b ^ alt) & (self.n_buckets - 1)
+        return False
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.int64)
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        fp = self._fp(h)
+        b1 = self._b1(h)
+        b2 = self._b2(b1, fp)
+        in1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, hashes: np.ndarray) -> int:
+        h = np.asarray(hashes, dtype=np.int64)
+        removed = 0
+        fp = self._fp(h)
+        b1 = self._b1(h)
+        b2 = self._b2(b1, fp)
+        for i in range(h.size):
+            for b in (int(b1[i]), int(b2[i])):
+                slots = np.where(self.table[b] == fp[i])[0]
+                if slots.size:
+                    self.table[b, slots[0]] = 0
+                    removed += 1
+                    self.count -= 1
+                    break
+        return removed
+
+
+def bloom_probe_udf(bloom: NumpyBloom):
+    """Vectorized pandas UDF: url_hash -> might-be-seen flag.
+
+    The bloom bytes travel once per executor via closure capture of the
+    numpy array (Arrow-batched probing, no per-row Python)."""
+    words, n_bits, n_hashes = bloom.words, bloom.n_bits, bloom.n_hashes
+
+    @F.pandas_udf(BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
+        local = NumpyBloom(n_bits, n_hashes, words)
+        return pd.Series(local.might_contain(h.to_numpy(dtype=np.int64)))
+
+    return probe
+
+
+def filter_new_urls(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: NumpyBloom | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Rows of ``candidates`` whose (url_hash, url) is not in ``seen``.
+
+    Exactly an anti-join, executed as: Bloom fast path -> cuckoo-bucket
+    confirm -> exact string equality.  ``candidates`` must carry
+    ``url_hash`` and ``url``; ``seen`` likewise.
+    """
+    if bloom is None:
+        return candidates.join(
+            seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        )
+    probe = bloom_probe_udf(bloom)
+    flagged = candidates.withColumn("_maybe_seen", probe(F.col("url_hash")))
+    fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+
+    cols = candidates.columns
+    cand_b = maybe.withColumn("_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))
+    seen_b = seen.select("url_hash", "url").withColumn(
+        "_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets))
+    )
+
+    def confirm(cand_pdf: pd.DataFrame, seen_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return cand_pdf.drop(columns=["_bucket"])
+        ck = CuckooFilter(capacity=max(len(seen_pdf), 16))
+        ck.insert(seen_pdf["url_hash"].to_numpy(dtype=np.int64))
+        hit = ck.contains(cand_pdf["url_hash"].to_numpy(dtype=np.int64))
+        # cuckoo-negative -> definitely new; positive -> exact URL confirm
+        pos = cand_pdf[hit]
+        neg = cand_pdf[~hit]
+        truly_seen = pos["url"].isin(set(seen_pdf["url"]))
+        out = pd.concat([neg, pos[~truly_seen]], ignore_index=True)
+        return out.drop(columns=["_bucket"])
+
+    survivors = (
+        cand_b.groupBy("_bucket")
+        .cogroup(seen_b.groupBy("_bucket"))
+        .applyInPandas(confirm, schema=candidates.schema)
+    )
+    return fresh.select(cols).unionByName(survivors.select(cols))

@@ -1,0 +1,607 @@
+"""The BFS crawl engine: a driver loop of budget-bounded frontier rounds.
+
+Each round is one Spark job chain (SURVEY.md §3.1 "Spark shape"):
+
+    frontier ->(axis B) politeness-join + host-salted budget truncation
+             -> mapInPandas fetch (pluggable; synthetic world in tests)
+             -> parse / validate / variant-explode (JVM column exprs)
+             -> link discovery (posexplode + pagination synthesis)
+             ->(axis A) first-wins dedup + Bloom/cuckoo seen filter
+             -> robots split -> priority scoring (Arrow UDF)
+             -> one atomic multi-table snapshot commit
+
+Replaces the reference's Tokio ``join_all`` level barriers
+(/root/reference/src/crawlers/wintergreen.rs:160-189) with BSP supersteps;
+the per-round commit (frontier/seen/results/images/order/lineage) is the
+resumable checkpoint the north rule requires.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..functions.parsing import amount_col, price_col, units_col, validate_products
+from ..functions.urlnorm import canonicalize_url_udf, host_of
+from ..operators.budget import apply_robots, host_splits, schedule_round
+from ..operators.priority import PriorityWeights, parity_priority, priority_udf
+from ..operators.seen import NumpyBloom, add_to_bloom, filter_new_urls
+from ..store.snapshots import SnapshotStore
+from ..synth.png import decode_png
+from ..synth.phash import gray32, phash64_batch
+from ..synth.worldgen import SyntheticWorld
+
+_FETCHED_COLS = [f.name for f in schemas.FETCHED.fields]
+
+
+def hseg_col(idx) -> F.Column:
+    """4-hex-digit ord segment, JVM-side (matches oracle.hseg)."""
+    return F.lpad(F.lower(F.hex(idx)), 4, "0")
+
+
+def make_world_fetch_fn(world: SyntheticWorld) -> Callable:
+    """mapInPandas fetch stage against the synthetic world.
+
+    This is the engine's I/O boundary (the reference's ``fetch_html``,
+    wintergreen.rs:44-53): one 'GET' per frontier row, Arrow-batched in
+    and out.  A production HTTP fetcher plugs in with the same signature.
+    """
+
+    def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url_hash, url, host, depth, ordv in zip(
+                pdf["url_hash"], pdf["url"], pdf["host"], pdf["depth"], pdf["ord"]
+            ):
+                base = {
+                    "url_hash": url_hash, "url": url, "host": host,
+                    "depth": int(depth), "ord": ordv, "ok": False, "kind": None,
+                    "last_page": None, "out_links": None, "sku": None,
+                    "name": None, "category": None, "units_raw": None,
+                    "price_str": None, "amount_str": None, "description": None,
+                    "variants_json": None, "images": None,
+                }
+                doc = world.fetch(url)
+                if doc is not None:
+                    base.update(
+                        ok=True, kind=doc.kind, last_page=int(doc.last_page),
+                        out_links=list(doc.out_links),
+                    )
+                    if doc.payload:
+                        p = doc.payload
+                        base.update(
+                            sku=p["sku"], name=p["name"], category=p["category"],
+                            units_raw=p["units"], price_str=p["price_str"],
+                            amount_str=p["amount_str"], description=p["description"],
+                            variants_json=doc.variants_json,
+                            images=[
+                                {"image_id": im["image_id"], "bytes": im["bytes"],
+                                 "caption": im["caption"]}
+                                for im in doc.images
+                            ],
+                        )
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=_FETCHED_COLS)
+
+    return fetch_fn
+
+
+def decode_images_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched image decode + batched-DCT phash (input_hint columns)."""
+    for pdf in batches:
+        n = len(pdf)
+        ws, hs, fmts, grays = [], [], [], np.zeros((n, 32, 32))
+        for i, data in enumerate(pdf["bytes"]):
+            px = decode_png(bytes(data))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            fmts.append("png")
+            grays[i] = gray32(px)
+        out = pdf[["image_id", "bytes", "caption"]].copy()
+        out["w"] = pd.Series(ws, index=pdf.index, dtype="int32")
+        out["h"] = pd.Series(hs, index=pdf.index, dtype="int32")
+        out["fmt"] = fmts
+        out["phash"] = phash64_batch(grays)
+        yield out[["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    scheduled: int = 0
+    fetched: int = 0
+    links_discovered: int = 0
+    links_new: int = 0
+    results_rows: int = 0
+    wall_s: float = 0.0
+
+
+@dataclass
+class CrawlRun:
+    run_id: str
+    rounds: int = 0
+    total_scheduled: int = 0
+    metrics: list[RoundMetrics] = field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        world: SyntheticWorld,
+        store_root: str,
+        seeds: list[str] | None = None,
+        weights: PriorityWeights | None = None,
+        use_bloom: bool = True,
+        use_robots: bool = True,
+        bloom_expected: int = 1 << 20,
+        run_id: str | None = None,
+        keep_images: bool = True,
+    ):
+        self.spark = spark
+        self.world = world
+        self.store = SnapshotStore(store_root)
+        self.seeds = seeds if seeds is not None else world.seed_urls()
+        self.weights = weights or PriorityWeights()
+        self.use_bloom = use_bloom
+        self.use_robots = use_robots
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.keep_images = keep_images
+        self.bloom: NumpyBloom | None = (
+            NumpyBloom.sized_for(bloom_expected) if use_bloom else None
+        )
+        self._robots_rules = {
+            hc["host"]: list(hc["robots_disallow"] or []) for hc in world.politeness_rows()
+        } if use_robots else {}
+        self._tables = {
+            "frontier": schemas.FRONTIER,
+            "seen": schemas.SEEN,
+            "results": schemas.RESULTS,
+            "rejects": schemas.REJECTS,
+            "images": schemas.IMAGES,
+            "crawl_order": schemas.CRAWL_ORDER,
+            "lineage": schemas.LINEAGE,
+        }
+        for name, schema in self._tables.items():
+            self.store.table(name, schema)
+        self._politeness = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (r["host"], r["budget_per_round"], r["robots_disallow"], r["crawl_delay_ms"])
+                    for r in world.politeness_rows()
+                ],
+                schemas.POLITENESS,
+            )
+        )
+        self._site_dim = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (hc.host, hc.idx, hc.page_param)
+                    for hc in (world.host_config(h) for h in world.cfg.hosts())
+                ],
+                "host string, crawler_id int, page_param string",
+            )
+        )
+        self._work = os.path.join(store_root, "_work")
+
+    # ------------------------------------------------------------------
+
+    def _stage_df(self, df: DataFrame, round_no: int, name: str) -> DataFrame:
+        """Materialize an intermediate once (deterministic reuse across the
+        several consumers in a round — the local stand-in for a cached
+        shuffle stage)."""
+        path = os.path.join(self._work, f"round-{round_no:06d}", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _init_frontier(self) -> None:
+        spark = self.spark
+        seed_df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(self.seeds)], "raw_url string, seed_idx int"
+        )
+        canon = (
+            seed_df.withColumn("url", canonicalize_url_udf(F.col("raw_url")))
+            .withColumn("host", host_of(F.col("url")))
+            .withColumn("ord", hseg_col(F.col("seed_idx")))
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("priority", parity_priority(F.lit(0)))
+            .withColumn("discovered_round", F.lit(0))
+            .withColumn("parent_hash", F.lit(None).cast("long"))
+        )
+        w = Window.partitionBy("url_hash", "url").orderBy("ord")
+        frontier0 = (
+            canon.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*[f.name for f in schemas.FRONTIER.fields])
+        )
+        seen0 = frontier0.select(
+            "url_hash", "url", "host", F.lit(0).alias("discovered_round")
+        )
+        staged = {
+            "frontier": self.store.table("frontier").stage(frontier0),
+            "seen": self.store.table("seen").stage(seen0),
+        }
+        for name in ("results", "rejects", "images", "crawl_order", "lineage"):
+            staged[name] = self.store.table(name).stage(
+                self.spark.createDataFrame([], self._tables[name])
+            )
+        self.store.commit_round(staged, round_no=0, run_id=self.run_id)
+        if self.bloom is not None:
+            add_to_bloom(self.bloom, seen0, "url_hash")
+
+    def _read_state(self) -> tuple[dict, dict[str, DataFrame]]:
+        state = self.store.read_run_state()
+        dfs = {
+            name: self.store.table(name).read(self.spark, state["snapshot_ids"].get(name))
+            for name in self._tables
+        }
+        return state, dfs
+
+    # ------------------------------------------------------------------
+
+    def run(self, max_rounds: int | None = None, resume: bool = False) -> CrawlRun:
+        import time as _time
+
+        if not resume or self.store.read_run_state() is None:
+            self._init_frontier()
+        elif self.bloom is not None:
+            # resume: rebuild the bloom from the committed seen snapshot
+            _, dfs = self._read_state()
+            self.bloom = NumpyBloom(self.bloom.n_bits, self.bloom.n_hashes)
+            add_to_bloom(self.bloom, dfs["seen"], "url_hash")
+
+        run = CrawlRun(run_id=self.run_id)
+        while True:
+            state, dfs = self._read_state()
+            round_no = state["round"] + 1
+            if max_rounds is not None and run.rounds >= max_rounds:
+                break
+            frontier = dfs["frontier"]
+            if frontier.limit(1).count() == 0:
+                break
+            t0 = _time.time()
+            m = self._run_round(round_no, state, dfs)
+            m.wall_s = _time.time() - t0
+            run.metrics.append(m)
+            run.rounds += 1
+            run.total_scheduled += m.scheduled
+        return run
+
+    # ------------------------------------------------------------------
+
+    def _run_round(self, round_no: int, state: dict, dfs: dict[str, DataFrame]) -> RoundMetrics:
+        frontier, seen = dfs["frontier"], dfs["seen"]
+        m = RoundMetrics(round=round_no)
+
+        # ---- axis B: politeness budget truncation (host-salted) ----------
+        splits = host_splits(frontier)
+        scheduled = schedule_round(frontier, self._politeness, splits=splits)
+        scheduled = self._stage_df(scheduled, round_no, "scheduled")
+        m.scheduled = scheduled.count()
+        if m.scheduled == 0:
+            # frontier rows exist but nothing schedulable -> terminate cleanly
+            staged = {"frontier": self.store.table("frontier").stage(frontier.limit(0))}
+            self.store.commit_round(staged, round_no, self.run_id)
+            return m
+
+        remainder = frontier.join(
+            scheduled.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        )
+
+        # ---- crawl-order seq (budget-bounded rows; single-window is safe) -
+        seq_base = int(state.get("seq_base", 0))
+        order_w = Window.orderBy("depth", "ord")
+        order_rows = scheduled.select(
+            (F.row_number().over(order_w) + F.lit(seq_base)).alias("seq"),
+            F.lit(round_no).alias("round"),
+            "url_hash", "url", "host", "depth", "ord",
+        )
+
+        # ---- fetch stage (mapInPandas over frontier partitions) ----------
+        fetched = scheduled.select("url_hash", "url", "host", "depth", "ord").mapInPandas(
+            make_world_fetch_fn(self.world), schemas.FETCHED
+        )
+        fetched = self._stage_df(fetched, round_no, "fetched")
+        m.fetched = fetched.filter("ok").count()
+
+        # ---- results: parse + validate + variant explosion ----------------
+        products = fetched.filter((F.col("kind") == "product") & F.col("ok"))
+        results_new, rejects_new = self._build_results(products, round_no)
+        results_new = self._stage_df(results_new, round_no, "results_new")
+        rejects_val = rejects_new.select(
+            "url", "host", "reject_reason", F.lit(round_no).alias("round")
+        )
+
+        # ---- images: decode + phash (input_hint columns) ------------------
+        if self.keep_images:
+            images_new = (
+                products.select(F.explode("images").alias("im"))
+                .select("im.image_id", "im.bytes", "im.caption")
+                .mapInPandas(decode_images_fn, schemas.IMAGES)
+            )
+        else:
+            images_new = self.spark.createDataFrame([], schemas.IMAGES)
+
+        # ---- link discovery ----------------------------------------------
+        candidates = self._discover_links(fetched, round_no)
+        candidates = self._stage_df(candidates, round_no, "candidates")
+        m.links_discovered = candidates.count()
+        discovered_by_host = candidates.groupBy("host").agg(
+            F.count("*").alias("links_discovered")
+        )
+
+        # first-wins intra-batch dedup (ord order == discovery order)
+        w = Window.partitionBy("url_hash", "url").orderBy("ord")
+        deduped = (
+            candidates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # axis A: bloom fast path + cuckoo-bucket confirm vs seen table
+        new_links = filter_new_urls(deduped, seen, self.bloom)
+        allowed, robots_rejected = apply_robots(new_links, self._robots_rules)
+        allowed = self._stage_df(allowed, round_no, "allowed")
+        robots_rejected = self._stage_df(robots_rejected, round_no, "robots_rejected")
+        m.links_new = allowed.count()
+
+        # ---- priority scoring (Arrow UDF unless parity fast path) --------
+        # novelty is host-scoped here: the mean min-Hamming of this round's
+        # image phashes vs the already-seen sample boosts hosts serving
+        # novel imagery; the depth term dominates so only within-depth
+        # order changes (SURVEY.md §4.4 tie-break contract).
+        if self.weights.novelty > 0.0 or self.weights.budget > 0.0:
+            sample = np.array(
+                [r["phash"] for r in dfs["images"].select("phash").limit(4096).collect()],
+                dtype=np.int64,
+            )
+            host_novelty = (
+                images_new.select(
+                    F.regexp_extract("image_id", r"^img-([^-]+)-", 1).alias("host"),
+                    "phash",
+                )
+                .groupBy("host")
+                .agg(F.collect_list("phash").alias("phashes"))
+            )
+            score = priority_udf(self.weights, sample)
+            frontier_add = (
+                allowed.join(
+                    F.broadcast(
+                        host_novelty.select(
+                            "host", F.element_at("phashes", 1).alias("host_phash")
+                        )
+                    ),
+                    "host",
+                    "left",
+                )
+                .withColumn(
+                    "priority", score(F.col("depth"), F.col("host_phash"), F.lit(0.0))
+                )
+                .drop("host_phash")
+            )
+        else:
+            frontier_add = allowed.withColumn("priority", parity_priority(F.col("depth")))
+        frontier_add = frontier_add.select(
+            "url_hash", "url", "host", "depth", "ord", "priority",
+            F.lit(round_no).alias("discovered_round"), "parent_hash",
+        )
+
+        # ---- lineage metrics per host -------------------------------------
+        lineage_new = self._build_lineage(
+            round_no, scheduled, fetched, discovered_by_host, allowed,
+            robots_rejected, results_new, rejects_val,
+        )
+
+        # ---- atomic multi-table commit ------------------------------------
+        frontier_next = remainder.unionByName(frontier_add)
+        seen_add = allowed.unionByName(robots_rejected).select(
+            "url_hash", "url", "host", F.lit(round_no).alias("discovered_round")
+        )
+        rejects_all = rejects_val.unionByName(
+            robots_rejected.select(
+                "url", "host", F.lit("robots").alias("reject_reason"),
+                F.lit(round_no).alias("round"),
+            )
+        )
+        staged = {
+            "frontier": self.store.table("frontier").stage(frontier_next),
+            "seen": self.store.table("seen").stage(seen.unionByName(seen_add)),
+            "results": self.store.table("results").stage(
+                dfs["results"].unionByName(results_new)
+            ),
+            "rejects": self.store.table("rejects").stage(
+                dfs["rejects"].unionByName(rejects_all)
+            ),
+            "images": self.store.table("images").stage(
+                dfs["images"].unionByName(images_new)
+            ),
+            "crawl_order": self.store.table("crawl_order").stage(
+                dfs["crawl_order"].unionByName(order_rows)
+            ),
+            "lineage": self.store.table("lineage").stage(
+                dfs["lineage"].unionByName(lineage_new)
+            ),
+        }
+        m.results_rows = staged["results"][1] - dfs["results"].count()
+        self.store.commit_round(
+            staged, round_no, self.run_id,
+            extra={"seq_base": seq_base + m.scheduled},
+        )
+        if self.bloom is not None:
+            add_to_bloom(self.bloom, seen_add, "url_hash")
+        return m
+
+    # ------------------------------------------------------------------
+
+    def _build_results(self, products: DataFrame, round_no: int):
+        """S1-S4 + F7: parse raw strings, validate, explode variants."""
+        base = (
+            products.join(self._site_dim.select("host", "crawler_id"), "host", "left")
+            .withColumn("price", price_col(F.col("price_str")))
+            .withColumn(
+                "image_ids",
+                F.transform(F.coalesce(F.col("images"), F.array()), lambda im: im["image_id"]),
+            )
+            .withColumn(
+                "caption",
+                F.when(F.size("images") > 0, F.col("images")[0]["caption"]),
+            )
+        )
+        has_var = base.filter(
+            F.col("variants_json").isNotNull() & (F.col("variants_json") != "")
+        )
+        no_var = base.filter(
+            F.col("variants_json").isNull() | (F.col("variants_json") == "")
+        )
+        plain = (
+            no_var.withColumn("amount", amount_col(F.col("amount_str")))
+            .withColumn("units", units_col(F.col("amount_str")))
+            .withColumn("out_url", F.col("url"))
+        )
+        exploded = (
+            has_var.withColumn(
+                "variant",
+                F.explode(
+                    F.from_json("variants_json", T.ArrayType(schemas.VARIANT))
+                ),
+            )
+            .withColumn("sku", F.col("variant.sku"))
+            .withColumn("price", F.col("variant.price"))
+            .withColumn("amount", amount_col(F.col("variant.title")))
+            .withColumn("units", units_col(F.col("variant.title")))
+            .withColumn("out_url", F.concat("url", F.lit("#"), F.col("variant.sku")))
+            .drop("variant")
+        )
+        sel = [
+            "crawler_id", "url_hash", F.col("out_url").alias("url"), "host",
+            "sku", "name", "price", "category", "units", "amount",
+            "description", "image_ids", "caption", "ord",
+            F.lit(round_no).alias("round"),
+        ]
+        union = plain.select(*sel).unionByName(exploded.select(*sel))
+        valid, rejects = validate_products(union)
+        # final first-wins dedup by result URL (F8, wintergreen.rs:184-188)
+        w = Window.partitionBy("url").orderBy("ord")
+        valid = (
+            valid.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("embedding", F.lit(None).cast("array<float>"))
+            .withColumn("category_id", F.lit(None).cast("int"))
+            .withColumn("category_assignment_source", F.lit(None).cast("string"))
+            .select(*[f.name for f in schemas.RESULTS.fields])
+        )
+        return valid, rejects
+
+    def _discover_links(self, fetched: DataFrame, round_no: int) -> DataFrame:
+        """F1/F2/F3: out-link + pagination expansion with ord propagation."""
+        ok = fetched.filter("ok")
+        seed_links = (
+            ok.filter(F.col("kind") == "seed")
+            .select(
+                "url_hash", "ord",
+                F.posexplode("out_links").alias("pos", "child_url"),
+            )
+            .withColumn("child_depth", F.lit(1))
+            .withColumn("child_ord", F.concat("ord", hseg_col(F.col("pos"))))
+        )
+        cat = ok.filter(F.col("kind") == "category").join(
+            self._site_dim.select("host", "page_param"), "host", "left"
+        )
+        # pagination synthesis (F2): strip any existing page param, append new
+        page_links = (
+            cat.filter(F.col("last_page") >= 2)
+            .select(
+                "url_hash", "ord", "url", "page_param", "last_page",
+                F.explode(F.sequence(F.lit(2), F.col("last_page"))).alias("page_no"),
+            )
+            .withColumn("_stripped", F.regexp_replace(
+                F.col("url"),
+                F.concat(F.lit("[?&]"), F.col("page_param"), F.lit("=\\d+")),
+                "",
+            ))
+            .withColumn(
+                "child_url",
+                F.concat(
+                    F.col("_stripped"),
+                    F.when(F.col("_stripped").contains("?"), F.lit("&")).otherwise(F.lit("?")),
+                    F.col("page_param"), F.lit("="), F.col("page_no").cast("string"),
+                ),
+            )
+            .withColumn("child_depth", F.lit(2))
+            .withColumn("child_ord", F.concat("ord", hseg_col(F.col("page_no") - 1)))
+            .select("url_hash", "ord", F.lit(0).alias("pos"), "child_url", "child_depth", "child_ord")
+        )
+        cat_product_links = (
+            ok.filter(F.col("kind") == "category")
+            .select("url_hash", "ord", F.posexplode("out_links").alias("pos", "child_url"))
+            .withColumn("child_depth", F.lit(3))
+            .withColumn("child_ord", F.concat("ord", hseg_col(F.lit(0)), hseg_col(F.col("pos"))))
+        )
+        listing_links = (
+            ok.filter(F.col("kind") == "listing")
+            .select("url_hash", "ord", F.posexplode("out_links").alias("pos", "child_url"))
+            .withColumn("child_depth", F.lit(3))
+            .withColumn("child_ord", F.concat("ord", hseg_col(F.col("pos"))))
+        )
+        all_links = seed_links.unionByName(page_links).unionByName(
+            cat_product_links
+        ).unionByName(listing_links)
+        return (
+            all_links.withColumn("url", canonicalize_url_udf(F.col("child_url")))
+            .withColumn("host", host_of(F.col("url")))
+            .select(
+                F.xxhash64("url").alias("url_hash"),
+                "url", "host",
+                F.col("child_depth").alias("depth"),
+                F.col("child_ord").alias("ord"),
+                F.col("url_hash").alias("parent_hash"),
+            )
+        )
+
+    def _build_lineage(
+        self, round_no, scheduled, fetched, discovered_by_host, allowed,
+        robots_rejected, results_new, rejects_val,
+    ) -> DataFrame:
+        sched = scheduled.groupBy("host").agg(F.count("*").alias("scheduled"))
+        fet = fetched.groupBy("host").agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("fetched"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("fetch_errors"),
+        )
+        new = allowed.groupBy("host").agg(F.count("*").alias("links_new"))
+        rob = robots_rejected.groupBy("host").agg(F.count("*").alias("robots_rejected"))
+        resr = results_new.groupBy("host").agg(F.count("*").alias("results_rows"))
+        rej = rejects_val.groupBy("host").agg(F.count("*").alias("reject_rows"))
+        out = (
+            sched.join(fet, "host", "left")
+            .join(discovered_by_host, "host", "left")
+            .join(new, "host", "left")
+            .join(rob, "host", "left")
+            .join(resr, "host", "left")
+            .join(rej, "host", "left")
+            .na.fill(0)
+        )
+        return out.select(
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(round_no).alias("round"),
+            "host",
+            F.col("scheduled").cast("long"),
+            F.col("fetched").cast("long"),
+            F.col("fetch_errors").cast("long"),
+            F.col("links_discovered").cast("long"),
+            F.col("links_new").cast("long"),
+            (F.col("links_discovered") - F.col("links_new") - F.col("robots_rejected"))
+            .cast("long").alias("links_dup"),
+            F.col("robots_rejected").cast("long"),
+            F.col("results_rows").cast("long"),
+            F.col("reject_rows").cast("long"),
+        )
