@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on /root/testdata/sf0.001.
+``queries()``    — every implemented SQL-expressible operator from
+                   SURVEY.md §2 plus the training-data-pipeline operators
+                   (dedup / similarity / text analysis); see
+                   pushkind_crawlers_spark/queries.py.
+``oracle_sql()`` — exact DuckDB twins (omitted for UDF-backed scale paths,
+                   which get the rows-only check).
 """
 
 from __future__ import annotations
@@ -12,27 +14,37 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pushkind_crawlers_spark.queries import ORACLE, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the training-data document pipeline at sf0.001 —
+    exact-dedup representatives joined with quality score, language ID,
+    token count, and content fingerprint (one row per unique document)."""
+    from pushkind_crawlers_spark.functions import text as X
+    from pushkind_crawlers_spark.operators.dedup import exact_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    reps = exact_dedup(docs)
+    feats = docs.select(
+        "doc_id",
+        X.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        X.quality_score_col(F.col("text")).alias("quality"),
+        X.lang_id_col(F.col("text")).alias("pred_lang"),
+        X.fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+    return reps.join(feats, "doc_id").select(
+        "doc_id", "content_hash", "group_size",
+        "n_tokens", "quality", "pred_lang", "fingerprint",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

@@ -1,0 +1,239 @@
+"""Similarity search + embedding analytics tail (SURVEY.md §2.5, E1-E7).
+
+Reference semantics re-expressed Spark-first:
+* E1/E2: embedder + L2 normalization
+  (/root/reference/src/processing/embedding.rs:28-35) — here a
+  deterministic feature-hash embedder in a vectorized ``pandas_udf``
+  (the fastembed E5 model cannot be downloaded offline; production swaps
+  the UDF body, the plan stays identical).
+* E3 memoized fill (/root/reference/src/processing/embedding.rs:41-65):
+  embed ONLY rows with NULL embedding (anti-join pattern), union back —
+  incremental compute.
+* E4 top-k (/root/reference/src/processing/embedding.rs:68-105): the
+  reference builds an in-memory usearch HNSW; at Spark scale the exact
+  top-k is a broadcast query vector + JVM dot product + window/order —
+  no index build, one pass. The approximate scale path is
+  random-hyperplane LSH bucketing (`ann_lsh_topk`): candidates only from
+  matching buckets (multi-probe by Hamming-adjacent buckets).
+* E5 threshold sim >= 0.8 (/root/reference/src/lib.rs:7).
+* E6 benchmark top-10 association
+  (/root/reference/src/processing/benchmark.rs:112-192).
+* E7 category top-1 assignment
+  (/root/reference/src/processing/category.rs:170-221) — broadcast the
+  small side, argmax per product via window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import dot_col
+
+SIM_THRESHOLD = 0.8  # reference src/lib.rs:7
+EMBED_DIM = 64
+
+
+# ----------------------------------------------------------- E1/E2 embedder
+
+def hash_embed_udf(dim: int = EMBED_DIM):
+    """Deterministic feature-hash embedder, L2-normalized, Arrow-batched.
+
+    token -> bucket = md5(token) % dim, sign from next md5 bit; the bag
+    of signed token counts is L2-normalized (zero vectors pass through,
+    embedding.rs:28-35). Vectorized over the batch: one numpy matrix per
+    Arrow batch, no per-row Python beyond the tokenizer split.
+    """
+    import hashlib
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            vec = np.zeros(dim, dtype=np.float64)
+            if t:
+                toks = [x for x in t.split(" ") if x]
+                if toks:
+                    digests = np.frombuffer(
+                        b"".join(hashlib.md5(x.encode()).digest()[:8] for x in toks),
+                        dtype=np.uint64,
+                    )
+                    buckets = (digests % dim).astype(np.int64)
+                    signs = np.where((digests >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+                    np.add.at(vec, buckets, signs)
+            n = float(np.linalg.norm(vec))
+            if n > 0.0:
+                vec = vec / n
+            out.append(vec.astype(np.float32))
+        return pd.Series(out)
+
+    return embed
+
+
+def fill_missing_embeddings(df: DataFrame, text_col: str = "prompt",
+                            emb_col: str = "embedding", dim: int = EMBED_DIM) -> DataFrame:
+    """E3: embed only rows where the embedding is NULL, union back."""
+    have = df.filter(F.col(emb_col).isNotNull())
+    missing = df.filter(F.col(emb_col).isNull())
+    embed = hash_embed_udf(dim)
+    filled = missing.withColumn(emb_col, embed(F.col(text_col)))
+    return have.unionByName(filled)
+
+
+def prompt_col(name: Column, sku: Column, category: Column, units: Column,
+               price: Column, amount: Column, description: Column) -> Column:
+    """S7 prompt template — golden-tested against
+    /root/reference/src/processing/benchmark.rs:198-212."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("Name: "), F.coalesce(name, F.lit(""))),
+        F.concat(F.lit("SKU: "), F.coalesce(sku, F.lit(""))),
+        F.concat(F.lit("Category: "), F.coalesce(category, F.lit(""))),
+        F.concat(F.lit("Units: "), F.coalesce(units, F.lit(""))),
+        F.concat(F.lit("Price: "), F.coalesce(price.cast("string"), F.lit(""))),
+        F.concat(F.lit("Amount: "), F.coalesce(amount.cast("string"), F.lit(""))),
+        F.concat(F.lit("Description: "), F.coalesce(description, F.lit(""))),
+    )
+
+
+# ----------------------------------------------------------------- E4 top-k
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k vs one query vector (assumed L2-normalized).
+
+    The query is a literal array (broadcast by constant folding); the dot
+    product is JVM codegen; ordering ties break on id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(dot_col(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "cosine", "rank")
+    )
+
+
+def topk_per_group(emb: DataFrame, queries: DataFrame, k: int = 10,
+                   group_col: str = "label",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """E6 shape: top-k items per query, query side broadcast."""
+    joined = emb.crossJoin(F.broadcast(queries.select(q_id, q_vec)))
+    scored = joined.select(
+        F.col(q_id), F.col(id_col),
+        F.round(dot_col(F.col(vec_col), F.col(q_vec)), 4).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------------ ANN scale path
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(planes: np.ndarray):
+    """Random-hyperplane signature (int bucket) — vectorized Arrow UDF.
+
+    One matmul per Arrow batch: (batch × dim) @ (dim × planes) -> sign
+    bits packed into an int64 bucket id.
+    """
+    p = planes.T.copy()  # dim x n_planes
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ p) > 0.0
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 8, seed: int = 7, multiprobe: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket the corpus, score only the
+    query's bucket (± multi-probe Hamming-1 neighbors).
+
+    At 100 TB the bucket column is precomputed and the table is
+    partitioned by it — the query then touches only matching partitions
+    (partition pruning) instead of a full scan.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qsig = int(((planes @ q) > 0.0) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    probes = [qsig]
+    if multiprobe >= 1:
+        probes += [qsig ^ (1 << i) for i in range(n_planes)]
+    bucket = lsh_bucket_udf(planes)
+    bucketed = emb.withColumn("bucket", bucket(F.col(vec_col)))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(dot_col(F.col(vec_col), qcol), 4).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "cosine", "rank")
+    )
+
+
+# -------------------------------------------------- E6/E7 association jobs
+
+def benchmark_topk_association(products: DataFrame, benchmark_vec: list[float],
+                               k: int = 10, threshold: float = SIM_THRESHOLD,
+                               group_col: str = "crawler_id") -> DataFrame:
+    """E6: per crawler, top-10 products by cosine vs the benchmark vector,
+    thresholded at 0.8 (benchmark.rs:158-191). Expects `embedding` column."""
+    q = F.array(*[F.lit(float(x)) for x in benchmark_vec])
+    scored = products.select(
+        group_col, "url",
+        F.round(dot_col(F.col("embedding"), q), 4).alias("sim"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("sim"), F.asc("url"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (F.col("sim") >= threshold))
+    )
+
+
+def category_top1_assignment(products: DataFrame, categories: DataFrame,
+                             threshold: float = SIM_THRESHOLD) -> DataFrame:
+    """E7: broadcast the category matrix, argmax per product, threshold.
+
+    products: (url, embedding); categories: (category_id, embedding).
+    Returns (url, category_id, sim) for assignments passing the 0.8 bar;
+    the conditional MERGE (never overwrite manual) lives in store.ops.
+    """
+    cats = F.broadcast(
+        categories.select(
+            F.col("category_id"), F.col("embedding").alias("cat_vec")
+        )
+    )
+    scored = products.crossJoin(cats).select(
+        "url", "category_id",
+        F.round(dot_col(F.col("embedding"), F.col("cat_vec")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("sim"), F.asc("category_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") == 1) & (F.col("sim") >= threshold))
+        .select("url", "category_id", "sim")
+    )

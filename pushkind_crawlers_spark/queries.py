@@ -1,0 +1,667 @@
+"""Named query library: every SQL-expressible operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text
+analysis), each as a (spark, sf_dir) -> DataFrame callable with an exact
+DuckDB oracle twin in ORACLE.
+
+Contract (driver correctness gate): column NAMES and value semantics
+must match the oracle exactly — every computed column is aliased
+identically on both sides, floats are rounded to fixed decimals on both
+sides, and orderings are made deterministic with explicit tie-breaks.
+
+Scale design notes are inline per query; the common ones:
+* dimension tables (region/nation/supplier/queries) are broadcast;
+* aggregations are partial-agg friendly (sum/min/count — map-side combine);
+* self-joins are always bucket/block-keyed, never unblocked cross joins;
+* filters sit directly on the scan so parquet pushdown applies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as X
+from .functions.parsing import amount_col, price_col, units_col
+from .operators import dedup as D
+from .operators.dedup import dot_col
+from .operators import similarity as S
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# TPC-H-ish headline queries (scan/agg/join shapes at scale)
+# =====================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan, partial-agg groupBy; the shipdate
+    filter and 6-column projection push down to the parquet scan."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join narrowed by segment filter; orders↔lineitem
+    shuffle on orderkey; customer side reduced before the join."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+SQL_Q3 = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: big fact joins + broadcast dims (nation/region)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    n = F.broadcast(load(spark, sf, "nation"))
+    r = F.broadcast(load(spark, sf, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization (batch twin of the streaming path): gap > 1800s starts
+    a new session; single shuffle on user_id (window + groupBy colocated)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# =====================================================================
+# Crawl-operator parity queries (SURVEY.md §2.1/2.2/2.3 SQL-expressible)
+# =====================================================================
+
+def first_wins_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """F4/F8 first-wins dedup: first lineitem per orderkey in linenumber
+    order (the crawl's discovery-order dedup as a window)."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+SQL_FIRST_WINS = """
+SELECT l_orderkey, l_partkey, l_linenumber
+FROM (SELECT l_orderkey, l_partkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def pagination_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 pagination synthesis: explode sequence(2..last_page) and rewrite
+    the page param (wintergreen.rs:78-129), p_size standing in for the
+    last-page read."""
+    p = load(spark, sf, "part").filter(F.col("p_size") >= 2)
+    return (
+        p.select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(2), F.least(F.col("p_size"), F.lit(6)))).alias("page_no"),
+        )
+        .withColumn(
+            "page_url",
+            F.concat(F.lit("https://site/part/"), F.col("p_partkey").cast("string"),
+                     F.lit("?PAGEN_1="), F.col("page_no").cast("string")),
+        )
+    )
+
+
+SQL_PAGINATION = """
+SELECT p_partkey, page_no,
+       'https://site/part/' || CAST(p_partkey AS VARCHAR) || '?PAGEN_1=' || CAST(page_no AS VARCHAR) AS page_url
+FROM part, UNNEST(generate_series(2, least(p_size, 6))) AS t(page_no)
+WHERE p_size >= 2
+"""
+
+
+def anti_join_new(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 seen-filter shape: candidates anti-joined against the seen set —
+    orders whose customer is NOT in the 'seen' (BUILDING) segment."""
+    seen = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    return o.join(seen, o.o_custkey == seen.c_custkey, "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """E4/E6 top-k per group: top-3 orders by totalprice per customer."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+SQL_TOPK_GROUP = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders)
+WHERE rank <= 3
+"""
+
+
+def threshold_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """E5 similarity threshold: normalized score >= 0.8 (lib.rs:7)."""
+    o = load(spark, sf, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("mx"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .withColumn("sim", F.round(F.col("o_totalprice") / F.col("mx"), 4))
+        .filter(F.col("sim") >= 0.8)
+        .select("o_orderkey", "sim")
+    )
+
+
+SQL_THRESHOLD = """
+SELECT o_orderkey, round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 4) AS sim
+FROM orders
+WHERE round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 4) >= 0.8
+"""
+
+
+def upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 MERGE-upsert semantics (product.rs:116-143): a batch of changed
+    rows (orderkey%10==0, price doubled) + new rows (key+1000000) merged
+    into the base — matched rows updated, unmatched inserted."""
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    batch = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 2, 2).alias("v"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("k"),
+                F.round(F.col("o_totalprice"), 2).alias("v"),
+            )
+        )
+    )
+    merged = (
+        o.join(batch, o.o_orderkey == batch.k, "full_outer")
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("k")).alias("o_orderkey"),
+            F.round(F.coalesce(F.col("v"), F.col("o_totalprice")), 2).alias("o_totalprice"),
+        )
+    )
+    return merged
+
+
+SQL_UPSERT = """
+WITH batch AS (
+  SELECT o_orderkey AS k, round(o_totalprice * 2, 2) AS v FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000 AS k, round(o_totalprice, 2) AS v FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT coalesce(o_orderkey, k) AS o_orderkey,
+       round(coalesce(v, o_totalprice), 2) AS o_totalprice
+FROM orders FULL OUTER JOIN batch ON o_orderkey = k
+"""
+
+
+def count_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """P8 update_crawler_stats: COUNT(*) + freshest timestamp per group."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count("*").alias("num_products"),
+        F.max(F.col("l_shipdate").cast("date")).alias("updated_at"),
+    )
+
+
+SQL_COUNT_STATS = """
+SELECT l_suppkey, count(*) AS num_products, CAST(max(l_shipdate) AS DATE) AS updated_at
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def manual_guard_update(spark: SparkSession, sf: str) -> DataFrame:
+    """P12 conditional update that never overwrites 'manual' rows
+    (category.rs:54-79): BUILDING stands in for manual."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") != "BUILDING", F.lit("AUTO"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment_out"),
+    )
+
+
+SQL_MANUAL_GUARD = """
+SELECT c_custkey,
+       CASE WHEN c_mktsegment != 'BUILDING' THEN 'AUTO' ELSE c_mktsegment END AS segment_out
+FROM customer
+"""
+
+
+def cascade_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 cascade delete: drop children of deleted parents (orders with
+    status 'F' deleted), count survivors per returnflag."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf, "lineitem")
+    kept = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    return kept.groupBy("l_returnflag").agg(F.count("*").alias("remaining"))
+
+
+SQL_CASCADE_DELETE = """
+SELECT l_returnflag, count(*) AS remaining
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag
+"""
+
+
+def breadcrumb_join(spark: SparkSession, sf: str) -> DataFrame:
+    """F6 breadcrumb assembly: ordered collect + ' / ' join
+    (wintergreen.rs:221-226)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber"))),
+                lambda x: x["l_linenumber"].cast("string"),
+            ),
+            " / ",
+        ).alias("crumbs")
+    )
+
+
+SQL_BREADCRUMB = """
+SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ' / ' ORDER BY l_linenumber) AS crumbs
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def price_cleanup(spark: SparkSession, sf: str) -> DataFrame:
+    """S3 price-string cleanup parity: comma-decimal strings parsed back
+    (wintergreen.rs:229-242) — strings synthesized from l_extendedprice."""
+    li = load(spark, sf, "lineitem")
+    raw = F.translate(F.col("l_extendedprice").cast("string"), ".", ",")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(price_col(raw), 2).alias("price"),
+    )
+
+
+SQL_PRICE_CLEANUP = """
+SELECT l_orderkey, l_linenumber,
+       round(CAST(replace(replace(CAST(l_extendedprice AS VARCHAR), '.', ','), ',', '.') AS DOUBLE), 2) AS price
+FROM lineitem
+"""
+
+
+def amount_units_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 amount/units regex parity (mod.rs:172-214) on synthesized
+    '<qty>kg' strings."""
+    li = load(spark, sf, "lineitem")
+    raw = F.concat(F.col("l_quantity").cast("int").cast("string"), F.lit("kg"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        amount_col(raw).alias("amount"),
+        units_col(raw).alias("units"),
+    )
+
+
+SQL_AMOUNT_UNITS = """
+SELECT l_orderkey, l_linenumber,
+       CAST(regexp_extract(CAST(CAST(l_quantity AS INT) AS VARCHAR) || 'kg', '^\\s*(\\d+(?:[.,]\\d+)?)([a-zа-я%]*)\\s*$', 1) AS DOUBLE) AS amount,
+       regexp_extract(CAST(CAST(l_quantity AS INT) AS VARCHAR) || 'kg', '^\\s*(\\d+(?:[.,]\\d+)?)([a-zа-я%]*)\\s*$', 2) AS units
+FROM lineitem
+"""
+
+
+def variant_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """F7 variant explosion stand-in: extract the numeric variant key from
+    the JSON props column (rusteaco.rs:273-291 shape)."""
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int").alias("variant_k"),
+        F.concat(F.lit("evt-"), F.col("event_id").cast("string"), F.lit("#"),
+                 F.regexp_extract(F.col("props"), r"(\d+)", 1)).alias("variant_url"),
+    )
+
+
+SQL_VARIANT = """
+SELECT event_id,
+       CAST(regexp_extract(props, '(\\d+)', 1) AS INTEGER) AS variant_k,
+       'evt-' || CAST(event_id AS VARCHAR) || '#' || regexp_extract(props, '(\\d+)', 1) AS variant_url
+FROM events
+"""
+
+
+def run_state_guard(spark: SparkSession, sf: str) -> DataFrame:
+    """G3 has_any_processing: count running jobs per group
+    (category.rs:109-131) — open orders per priority class."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_running"),
+        (F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)) > 0).alias("has_running"),
+    )
+
+
+SQL_RUN_STATE = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_running,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) > 0 AS has_running
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# =====================================================================
+# Training-data pipeline: dedup / similarity / text analysis
+# =====================================================================
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return D.lsh_candidate_pairs(load(spark, sf, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(load(spark, sf, "documents"))
+
+
+def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_near_pairs(load(spark, sf, "documents"))
+
+
+def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.2)
+
+
+def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.embedding_neardup_pairs(load(spark, sf, "embeddings"), threshold=0.2)
+
+
+def ann_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-10 vs the vec_id=0 query vector.
+
+    The query row joins in as a broadcast (no literal capture — the same
+    SQL works at any sf)."""
+    emb = load(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(dot_col(F.col("embedding"), F.col("q_vec")), 4).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "cosine", "rank")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, round(SUM(CAST(embedding[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)), 4) AS cosine
+  FROM embeddings, q, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id != 0
+  GROUP BY vec_id
+)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", X.lang_id_col(F.col("text")).alias("pred_lang"))
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", X.quality_score_col(F.col("text")).alias("quality"))
+
+
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", X.token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", X.fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+SQL_LANG_ID = f"SELECT doc_id, {X.lang_id_sql('text')} AS pred_lang FROM documents"
+SQL_QUALITY = f"SELECT doc_id, {X.quality_score_sql('text')} AS quality FROM documents"
+SQL_TOKEN_COUNT = f"SELECT doc_id, CAST({X.token_count_sql('text')} AS BIGINT) AS n_tokens FROM documents"
+SQL_FINGERPRINT = f"SELECT doc_id, {X.fingerprint_sql('text')} AS fingerprint FROM documents"
+
+
+# =====================================================================
+# Non-SQL-expressible (rows-only driver check): UDF-backed scale paths
+# =====================================================================
+
+def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets (scale path of
+    ann_topk_cosine). Not SQL-expressible (seeded numpy hyperplanes)."""
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return S.ann_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), list(qrow[0]), k=10, n_planes=6
+    )
+
+
+def embed_fill_q(spark: SparkSession, sf: str) -> DataFrame:
+    """E3 memoized embedding fill over documents (deterministic hash
+    embedder UDF); returns id + first components + norm for stability."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").alias("prompt"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    filled = S.fill_missing_embeddings(d)
+    return filled.select(
+        "doc_id",
+        F.round(dot_col(F.col("embedding"), F.col("embedding")), 2).alias("norm_sq"),
+    )
+
+
+def category_top1_q(spark: SparkSession, sf: str) -> DataFrame:
+    """E7 top-1 category assignment: label-centroid vectors as the
+    category matrix, argmax per embedding row (threshold dropped to keep
+    rows at every sf)."""
+    emb = load(spark, sf, "embeddings")
+    cats = (
+        emb.groupBy("label")
+        .agg(F.array(*[
+            F.round(F.avg(F.col("embedding")[i]), 6) for i in range(S.EMBED_DIM)
+        ]).alias("embedding"))
+        .select(F.col("label").cast("int").alias("category_id"), "embedding")
+    )
+    prods = emb.select(F.concat(F.lit("v-"), F.col("vec_id")).alias("url"), "embedding")
+    return S.category_top1_assignment(prods, cats, threshold=0.0)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # headline scan/join/agg shapes
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue": q3_top_revenue,
+    "q5_nation_revenue": q5_nation_revenue,
+    "events_sessionize": events_sessionize,
+    # crawl-operator parity (SURVEY.md §2)
+    "first_wins_dedup": first_wins_dedup,
+    "pagination_expand": pagination_expand,
+    "anti_join_new": anti_join_new,
+    "topk_per_group": topk_per_group,
+    "threshold_filter": threshold_filter,
+    "upsert_merge": upsert_merge,
+    "count_stats": count_stats,
+    "manual_guard_update": manual_guard_update,
+    "cascade_delete": cascade_delete,
+    "breadcrumb_join": breadcrumb_join,
+    "price_cleanup": price_cleanup,
+    "amount_units_parse": amount_units_parse,
+    "variant_explode": variant_explode,
+    "run_state_guard": run_state_guard,
+    # training-data pipeline
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "simhash_near_pairs": simhash_near_pairs,
+    "ngram_jaccard": ngram_jaccard,
+    "embedding_neardup": embedding_neardup,
+    "ann_topk_cosine": ann_topk_cosine,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "doc_fingerprint": doc_fingerprint,
+    # UDF-backed scale paths (rows-only check)
+    "ann_lsh_topk": ann_lsh_topk_q,
+    "embed_fill": embed_fill_q,
+    "category_top1": category_top1_q,
+}
+
+ORACLE: dict[str, str] = {
+    "q1_pricing_summary": SQL_Q1,
+    "q3_top_revenue": SQL_Q3,
+    "q5_nation_revenue": SQL_Q5,
+    "events_sessionize": SQL_SESSIONIZE,
+    "first_wins_dedup": SQL_FIRST_WINS,
+    "pagination_expand": SQL_PAGINATION,
+    "anti_join_new": SQL_ANTI_JOIN,
+    "topk_per_group": SQL_TOPK_GROUP,
+    "threshold_filter": SQL_THRESHOLD,
+    "upsert_merge": SQL_UPSERT,
+    "count_stats": SQL_COUNT_STATS,
+    "manual_guard_update": SQL_MANUAL_GUARD,
+    "cascade_delete": SQL_CASCADE_DELETE,
+    "breadcrumb_join": SQL_BREADCRUMB,
+    "price_cleanup": SQL_PRICE_CLEANUP,
+    "amount_units_parse": SQL_AMOUNT_UNITS,
+    "variant_explode": SQL_VARIANT,
+    "run_state_guard": SQL_RUN_STATE,
+    "dedup_exact": D.exact_dedup_sql(),
+    "dedup_minhash_lsh": D.lsh_candidate_pairs_sql(),
+    "dedup_simhash": D.simhash_sql(),
+    "simhash_near_pairs": D.simhash_near_pairs_sql(),
+    "ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.2),
+    "embedding_neardup": D.embedding_neardup_pairs_sql(threshold=0.2),
+    "ann_topk_cosine": SQL_ANN_TOPK,
+    "text_lang_id": SQL_LANG_ID,
+    "text_quality": SQL_QUALITY,
+    "text_token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+}
