@@ -156,7 +156,14 @@ class CuckooFilter:
         return np.where(fp == 0, np.uint16(1), fp)
 
     def _b1(self, h: np.ndarray) -> np.ndarray:
-        return (h.view(np.uint64) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        # Rehash before bucketing: the raw keys arriving here are often
+        # pre-partitioned on ``h mod n_partitions`` (cogroup buckets), so
+        # their low bits are CONSTANT — ``h & mask`` would collapse the
+        # bucket space n_partitions-fold and overload the filter.  Use
+        # bits 16..16+log2(n_buckets) of the mixed key, disjoint from the
+        # fingerprint's bits 0..15.
+        mixed = _splitmix64(h.view(np.uint64))
+        return ((mixed >> np.uint64(16)) & np.uint64(self.n_buckets - 1)).astype(np.int64)
 
     def _b2(self, b1: np.ndarray, fp: np.ndarray) -> np.ndarray:
         alt = _splitmix64(fp.astype(np.uint64))
@@ -280,7 +287,12 @@ def filter_new_urls(
         if len(cand_pdf) == 0:
             return cand_pdf.drop(columns=["_bucket"])
         ck = CuckooFilter(capacity=max(len(seen_pdf), 16))
-        ck.insert(seen_pdf["url_hash"].to_numpy(dtype=np.int64))
+        failures = ck.insert(seen_pdf["url_hash"].to_numpy(dtype=np.int64))
+        if failures:
+            # a dropped key would be a FALSE NEGATIVE (re-fetch) — never
+            # trust a lossy filter; degrade to the exact set for this bucket
+            out = cand_pdf[~cand_pdf["url"].isin(set(seen_pdf["url"]))]
+            return out.drop(columns=["_bucket"])
         hit = ck.contains(cand_pdf["url_hash"].to_numpy(dtype=np.int64))
         # cuckoo-negative -> definitely new; positive -> exact URL confirm
         pos = cand_pdf[hit]

@@ -195,13 +195,16 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
 
-    def _stage_df(self, df: DataFrame, round_no: int, name: str) -> DataFrame:
+    def _stage_df(self, df: DataFrame, round_no: int, name: str) -> tuple[DataFrame, int]:
         """Materialize an intermediate once (deterministic reuse across the
         several consumers in a round — the local stand-in for a cached
-        shuffle stage)."""
+        shuffle stage).  Returns (re-read frame, row count); the count comes
+        from the parquet footers, not a Spark job."""
         path = os.path.join(self._work, f"round-{round_no:06d}", name)
         df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        from ..store.snapshots import parquet_rows
+
+        return self.spark.read.schema(df.schema).parquet(path), parquet_rows(path)
 
     def _init_frontier(self) -> None:
         spark = self.spark
@@ -266,9 +269,12 @@ class CrawlEngine:
             round_no = state["round"] + 1
             if max_rounds is not None and run.rounds >= max_rounds:
                 break
-            frontier = dfs["frontier"]
-            if frontier.limit(1).count() == 0:
+            # emptiness check from the committed manifest (no Spark job)
+            if self.store.table("frontier").row_count(
+                state["snapshot_ids"]["frontier"]
+            ) == 0:
                 break
+            frontier = dfs["frontier"]
             t0 = _time.time()
             m = self._run_round(round_no, state, dfs)
             m.wall_s = _time.time() - t0
@@ -286,8 +292,7 @@ class CrawlEngine:
         # ---- axis B: politeness budget truncation (host-salted) ----------
         splits = host_splits(frontier)
         scheduled = schedule_round(frontier, self._politeness, splits=splits)
-        scheduled = self._stage_df(scheduled, round_no, "scheduled")
-        m.scheduled = scheduled.count()
+        scheduled, m.scheduled = self._stage_df(scheduled, round_no, "scheduled")
         if m.scheduled == 0:
             # frontier rows exist but nothing schedulable -> terminate cleanly
             staged = {"frontier": self.store.table("frontier").stage(frontier.limit(0))}
@@ -311,13 +316,12 @@ class CrawlEngine:
         fetched = scheduled.select("url_hash", "url", "host", "depth", "ord").mapInPandas(
             make_world_fetch_fn(self.world), schemas.FETCHED
         )
-        fetched = self._stage_df(fetched, round_no, "fetched")
-        m.fetched = fetched.filter("ok").count()
+        fetched, _ = self._stage_df(fetched, round_no, "fetched")
 
         # ---- results: parse + validate + variant explosion ----------------
         products = fetched.filter((F.col("kind") == "product") & F.col("ok"))
         results_new, rejects_new = self._build_results(products, round_no)
-        results_new = self._stage_df(results_new, round_no, "results_new")
+        results_new, _ = self._stage_df(results_new, round_no, "results_new")
         rejects_val = rejects_new.select(
             "url", "host", "reject_reason", F.lit(round_no).alias("round")
         )
@@ -334,8 +338,7 @@ class CrawlEngine:
 
         # ---- link discovery ----------------------------------------------
         candidates = self._discover_links(fetched, round_no)
-        candidates = self._stage_df(candidates, round_no, "candidates")
-        m.links_discovered = candidates.count()
+        candidates, m.links_discovered = self._stage_df(candidates, round_no, "candidates")
         discovered_by_host = candidates.groupBy("host").agg(
             F.count("*").alias("links_discovered")
         )
@@ -350,9 +353,8 @@ class CrawlEngine:
         # axis A: bloom fast path + cuckoo-bucket confirm vs seen table
         new_links = filter_new_urls(deduped, seen, self.bloom)
         allowed, robots_rejected = apply_robots(new_links, self._robots_rules)
-        allowed = self._stage_df(allowed, round_no, "allowed")
-        robots_rejected = self._stage_df(robots_rejected, round_no, "robots_rejected")
-        m.links_new = allowed.count()
+        allowed, m.links_new = self._stage_df(allowed, round_no, "allowed")
+        robots_rejected, _ = self._stage_df(robots_rejected, round_no, "robots_rejected")
 
         # ---- priority scoring (Arrow UDF unless parity fast path) --------
         # novelty is host-scoped here: the mean min-Hamming of this round's
@@ -401,7 +403,10 @@ class CrawlEngine:
             robots_rejected, results_new, rejects_val,
         )
 
-        # ---- atomic multi-table commit ------------------------------------
+        # ---- atomic multi-table commit (delta appends, Iceberg-style) -----
+        # Only this round's rows are written; the manifest links the new
+        # data dirs to the parent snapshot's — O(delta) per round, never
+        # O(history), which is what survives a 10^10-row seen table.
         frontier_next = remainder.unionByName(frontier_add)
         seen_add = allowed.unionByName(robots_rejected).select(
             "url_hash", "url", "host", F.lit(round_no).alias("discovered_round")
@@ -414,27 +419,28 @@ class CrawlEngine:
         )
         staged = {
             "frontier": self.store.table("frontier").stage(frontier_next),
-            "seen": self.store.table("seen").stage(seen.unionByName(seen_add)),
-            "results": self.store.table("results").stage(
-                dfs["results"].unionByName(results_new)
-            ),
-            "rejects": self.store.table("rejects").stage(
-                dfs["rejects"].unionByName(rejects_all)
-            ),
-            "images": self.store.table("images").stage(
-                dfs["images"].unionByName(images_new)
-            ),
-            "crawl_order": self.store.table("crawl_order").stage(
-                dfs["crawl_order"].unionByName(order_rows)
-            ),
-            "lineage": self.store.table("lineage").stage(
-                dfs["lineage"].unionByName(lineage_new)
-            ),
+            "seen": self.store.table("seen").stage(seen_add),
+            "results": self.store.table("results").stage(results_new),
+            "rejects": self.store.table("rejects").stage(rejects_all),
+            "images": self.store.table("images").stage(images_new),
+            "crawl_order": self.store.table("crawl_order").stage(order_rows),
+            "lineage": self.store.table("lineage").stage(lineage_new),
         }
-        m.results_rows = staged["results"][1] - dfs["results"].count()
+        m.results_rows = staged["results"][1]
+        # remaining metrics from the staged lineage files (driver-side read)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        m.fetched = sum(
+            int(_pq.read_table(f, columns=["fetched"])["fetched"].to_pandas().sum())
+            for f in _glob.glob(os.path.join(staged["lineage"][0], "*.parquet"))
+        )
         self.store.commit_round(
             staged, round_no, self.run_id,
             extra={"seq_base": seq_base + m.scheduled},
+            append_tables={"seen", "results", "rejects", "images",
+                           "crawl_order", "lineage"},
         )
         if self.bloom is not None:
             add_to_bloom(self.bloom, seen_add, "url_hash")

@@ -5,14 +5,22 @@ Layout per table::
     <root>/<table>/snap-00000042/part-*.parquet   # immutable data files
     <root>/<table>/_manifest.json                 # atomic pointer + history
 
+A snapshot is a LIST of data directories (``paths``): an *overwrite*
+snapshot has one fresh directory; an *append* snapshot reuses the parent's
+directories plus one delta directory — exactly Iceberg's append commit, so
+a round that adds 1k rows to a 10^10-row table writes 1k rows, not the
+table.  Row counts come from parquet footers (pyarrow, driver-side, no
+Spark job).
+
 Commit protocol (mirrors Iceberg's optimistic snapshot commit):
 1. write the new snapshot directory (never touching prior snapshots),
 2. atomically rename a tmp manifest over ``_manifest.json`` pointing at it.
 
 A crash between (1) and (2) leaves the table at the previous snapshot —
-exactly the resumability contract the north rule requires.  ``MultiCommit``
-groups snapshots of several tables into one run-level atomic commit (the
-engine's per-round commit of frontier/seen/results/images/lineage).
+exactly the resumability contract the north rule requires.
+``SnapshotStore.commit_round`` groups snapshots of several tables into one
+run-level atomic commit (the engine's per-round commit of
+frontier/seen/results/images/lineage).
 
 Replaces the reference's SQLite transactions
 (/root/reference/src/repository/product.rs:99-111) and fixes its
@@ -22,6 +30,7 @@ committed snapshots.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -29,15 +38,24 @@ import time
 import uuid
 from dataclasses import dataclass
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job, no data read."""
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
 
 
 @dataclass
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
-    path: str
+    paths: list[str]
     row_count: int
     committed_at: float
     properties: dict
@@ -68,6 +86,11 @@ class SnapshotTable:
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path)  # atomic pointer swap
 
+    @staticmethod
+    def _snap_paths(snap: dict) -> list[str]:
+        # tolerate the legacy single-path record shape
+        return snap["paths"] if "paths" in snap else [snap["path"]]
+
     # ---- reads -----------------------------------------------------------
 
     def current_snapshot_id(self) -> int | None:
@@ -76,6 +99,19 @@ class SnapshotTable:
     def snapshots(self) -> list[dict]:
         return self._read_manifest()["snapshots"]
 
+    def _snapshot(self, m: dict, sid: int) -> dict:
+        try:
+            return next(s for s in m["snapshots"] if s["snapshot_id"] == sid)
+        except StopIteration:
+            raise KeyError(f"{self.name}: no snapshot {sid}") from None
+
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        m = self._read_manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            return 0
+        return self._snapshot(m, sid)["row_count"]
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         m = self._read_manifest()
         sid = snapshot_id if snapshot_id is not None else m["current"]
@@ -83,30 +119,45 @@ class SnapshotTable:
             if self.schema is None:
                 raise ValueError(f"{self.name}: empty table with no schema")
             return spark.createDataFrame([], self.schema)
-        snap = next(s for s in m["snapshots"] if s["snapshot_id"] == sid)
-        df = spark.read.parquet(snap["path"])
+        paths = self._snap_paths(self._snapshot(m, sid))
+        if not paths:
+            return spark.createDataFrame([], self.schema)
+        reader = spark.read.schema(self.schema) if self.schema else spark.read
+        df = reader.parquet(*paths)
         return df.select(*[f.name for f in self.schema.fields]) if self.schema else df
 
     # ---- writes ----------------------------------------------------------
 
     def stage(self, df: DataFrame) -> tuple[str, int]:
-        """Write a snapshot directory without publishing it; returns (path, rows)."""
-        m = self._read_manifest()
-        next_id = (max((s["snapshot_id"] for s in m["snapshots"]), default=0)) + 1
-        path = os.path.join(self.dir, f"snap-{next_id:08d}")
-        df.write.mode("overwrite").parquet(path)
-        # cheap row count from parquet footers (no recompute of df lineage)
-        n = df.sparkSession.read.parquet(path).count()
-        return path, n
+        """Write a snapshot data directory without publishing; (path, rows).
 
-    def publish(self, path: str, row_count: int, properties: dict | None = None) -> int:
+        Row count comes from the written footers — no extra Spark job."""
+        path = os.path.join(self.dir, f"data-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(path)
+        return path, parquet_rows(path)
+
+    def publish(self, path: str, row_count: int, properties: dict | None = None,
+                mode: str = "overwrite") -> int:
+        """Point the table at a staged directory.
+
+        mode='overwrite': the snapshot is exactly ``path``.
+        mode='append': the snapshot is parent.paths + [path] (delta commit);
+        empty deltas reuse the parent paths without adding a directory.
+        """
         m = self._read_manifest()
         next_id = (max((s["snapshot_id"] for s in m["snapshots"]), default=0)) + 1
+        if mode == "append" and m["current"] is not None:
+            parent = self._snapshot(m, m["current"])
+            paths = self._snap_paths(parent) + ([path] if row_count > 0 else [])
+            total = parent["row_count"] + row_count
+        else:
+            paths = [path]
+            total = row_count
         snap = {
             "snapshot_id": next_id,
             "parent_id": m["current"],
-            "path": path,
-            "row_count": row_count,
+            "paths": paths,
+            "row_count": total,
             "committed_at": time.time(),
             "properties": properties or {},
         }
@@ -120,28 +171,29 @@ class SnapshotTable:
         return self.publish(path, n, properties)
 
     def append(self, spark: SparkSession, df: DataFrame, properties: dict | None = None) -> int:
-        cur = self.read(spark)
-        return self.commit(cur.unionByName(df), properties)
+        """Delta append: stages only ``df`` and links the parent's files."""
+        path, n = self.stage(df)
+        return self.publish(path, n, properties, mode="append")
 
     def rollback(self, snapshot_id: int) -> None:
         m = self._read_manifest()
-        if not any(s["snapshot_id"] == snapshot_id for s in m["snapshots"]):
-            raise KeyError(f"{self.name}: no snapshot {snapshot_id}")
+        self._snapshot(m, snapshot_id)  # raises KeyError if missing
         m["current"] = snapshot_id
         self._write_manifest(m)
 
     def expire_snapshots(self, keep_last: int = 5) -> None:
-        """GC old snapshot dirs, keeping the current chain's newest N."""
+        """GC snapshot records + any data dir no kept snapshot references."""
         m = self._read_manifest()
         keep = {s["snapshot_id"] for s in m["snapshots"][-keep_last:]}
         if m["current"] is not None:
             keep.add(m["current"])
-        kept = []
+        kept = [s for s in m["snapshots"] if s["snapshot_id"] in keep]
+        referenced = {p for s in kept for p in self._snap_paths(s)}
         for s in m["snapshots"]:
-            if s["snapshot_id"] in keep:
-                kept.append(s)
-            else:
-                shutil.rmtree(s["path"], ignore_errors=True)
+            for p in self._snap_paths(s):
+                if p not in referenced:
+                    shutil.rmtree(p, ignore_errors=True)
+                    referenced.add(p)  # only attempt once
         m["snapshots"] = kept
         self._write_manifest(m)
 
@@ -172,16 +224,23 @@ class SnapshotStore:
             return json.load(f)
 
     def commit_round(
-        self, staged: dict[str, tuple[str, int]], round_no: int, run_id: str, extra: dict | None = None
+        self,
+        staged: dict[str, tuple[str, int]],
+        round_no: int,
+        run_id: str,
+        extra: dict | None = None,
+        append_tables: set[str] | frozenset[str] = frozenset(),
     ) -> dict[str, int]:
-        """Publish staged snapshots for several tables, then atomically record
-        the round in the run manifest.  Readers resume from the run manifest,
-        so a crash mid-publish is invisible (the previous round stays current
-        for the resume path)."""
+        """Publish staged snapshots for several tables (append-mode for
+        ``append_tables``, overwrite otherwise), then atomically record the
+        round in the run manifest.  Readers resume from the run manifest,
+        so a crash mid-publish is invisible (the previous round stays
+        current for the resume path)."""
         snapshot_ids = {}
         for name, (path, n) in staged.items():
             snapshot_ids[name] = self._tables[name].publish(
-                path, n, {"run_id": run_id, "round": round_no}
+                path, n, {"run_id": run_id, "round": round_no},
+                mode="append" if name in append_tables else "overwrite",
             )
         state = {
             "run_id": run_id,
