@@ -313,8 +313,17 @@ class CrawlEngine:
         )
 
         # ---- fetch stage (mapInPandas over frontier partitions) ----------
-        fetched = scheduled.select("url_hash", "url", "host", "depth", "ord").mapInPandas(
-            make_world_fetch_fn(self.world), schemas.FETCHED
+        # Budget truncation leaves the batch partitioned by (host, salt) —
+        # at most n_hosts×splits partitions, which caps fetch parallelism
+        # at the host count and concentrates hot hosts. Spread the fetch
+        # by url_hash across the full executor width: politeness is
+        # already enforced (per-ROUND budgets, not per-instant), so fetch
+        # placement is free.
+        n_par = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        fetched = (
+            scheduled.select("url_hash", "url", "host", "depth", "ord")
+            .repartition(n_par, "url_hash")
+            .mapInPandas(make_world_fetch_fn(self.world), schemas.FETCHED)
         )
         fetched, _ = self._stage_df(fetched, round_no, "fetched")
 

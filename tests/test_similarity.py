@@ -1,0 +1,139 @@
+"""Analytics tail (E1-E7) + training-data dedup/ANN property tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pushkind_crawlers_spark.operators import dedup as D
+from pushkind_crawlers_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank", "a"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend", "a"),  # near-dup of 0
+        (2, "spark shuffles partition data across executors during wide joins", "a"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank", "b"),  # exact dup of 0
+        (4, "completely different content about tea ceremonies and porcelain", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["doc_id"]: r["group_size"] for r in D.exact_dedup(docs).collect()}
+    assert got[0] == 2          # doc 3 collapsed into doc 0 (min id wins)
+    assert 3 not in got
+    assert got[1] == 1 and got[2] == 1 and got[4] == 1
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(docs).collect()}
+    assert (0, 3) in pairs       # exact dup always collides
+    assert (0, 1) in pairs       # 1-word-different near-dup collides
+    assert (0, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_hamming_reflects_similarity(spark, docs):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert sig[0] == sig[3]                       # exact dup -> identical
+    assert ham(sig[0], sig[1]) < ham(sig[0], sig[4])
+
+
+def test_ngram_jaccard_scores(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert got[(0, 1)] > 0.5     # near-dup: most 3-grams shared
+    # cross-source pairs are never compared (blocking)
+    assert (0, 3) not in got
+
+
+def test_embedder_deterministic_and_normalized(spark, docs):
+    emb = S.hash_embed_udf(dim=32)
+    out1 = docs.select("doc_id", emb(F.col("text")).alias("v")).collect()
+    out2 = docs.select("doc_id", emb(F.col("text")).alias("v")).collect()
+    for a, b in zip(sorted(out1), sorted(out2)):
+        assert a["v"] == b["v"]
+        norm = sum(x * x for x in a["v"])
+        assert abs(norm - 1.0) < 1e-5
+
+
+def test_memoized_fill_only_touches_nulls(spark, docs):
+    pre = docs.select(
+        "doc_id", F.col("text").alias("prompt"),
+        F.when(F.col("doc_id") == 0, F.array(F.lit(9.0).cast("float")))
+        .alias("embedding"),
+    )
+    out = {r["doc_id"]: r["embedding"] for r in S.fill_missing_embeddings(pre, dim=8).collect()}
+    assert out[0] == [9.0]                    # existing value untouched (E3)
+    assert all(out[i] is not None for i in (1, 2, 3, 4))
+
+
+def test_brute_force_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == i % 4 else 0.0 for j in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    top = S.brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=5)
+    rows = top.orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [0, 4, 8, 12, 16]  # cosine 1.0, id tiebreak
+    assert all(r["cosine"] == 1.0 for r in rows)
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(200):
+        v = base + rng.standard_normal(16) * (0.1 if i < 10 else 2.0)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in base / np.linalg.norm(base)]
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in S.ann_lsh_topk(emb, q, k=10, n_planes=8).collect()}
+    assert len(exact & approx) >= 7   # multi-probe LSH recall on clustered data
+
+
+def test_benchmark_topk_threshold(spark):
+    rows = [(1, f"u{i}", [1.0, 0.0]) for i in range(15)] + [
+        (1, "far", [0.0, 1.0]), (2, "u-other", [1.0, 0.0])]
+    prods = spark.createDataFrame(rows, "crawler_id int, url string, embedding array<float>")
+    out = S.benchmark_topk_association(prods, [1.0, 0.0], k=10)
+    got = out.groupBy("crawler_id").count().collect()
+    counts = {r["crawler_id"]: r["count"] for r in got}
+    assert counts[1] == 10            # top-10 cap (E6)
+    assert counts[2] == 1
+    assert "far" not in {r["url"] for r in out.collect()}  # 0.8 threshold (E5)
+
+
+def test_category_top1_respects_argmax(spark):
+    prods = spark.createDataFrame(
+        [("p1", [1.0, 0.0]), ("p2", [0.0, 1.0])], "url string, embedding array<float>")
+    cats = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "category_id int, embedding array<float>")
+    got = {r["url"]: r["category_id"]
+           for r in S.category_top1_assignment(prods, cats).collect()}
+    assert got == {"p1": 10, "p2": 20}
+
+
+def test_prompt_golden(spark):
+    """Golden prompt parity with the reference's unit test
+    (/root/reference/src/processing/benchmark.rs:198-212)."""
+    df = spark.createDataFrame(
+        [("Tea", "SKU1", "Green", "кг", 10.5, 0.5, "Nice tea")],
+        "name string, sku string, category string, units string,"
+        " price double, amount double, description string",
+    )
+    out = df.select(
+        S.prompt_col(F.col("name"), F.col("sku"), F.col("category"),
+                     F.col("units"), F.col("price"), F.col("amount"),
+                     F.col("description")).alias("p")
+    ).collect()[0]["p"]
+    assert out == (
+        "Name: Tea\nSKU: SKU1\nCategory: Green\nUnits: кг\n"
+        "Price: 10.5\nAmount: 0.5\nDescription: Nice tea"
+    )
