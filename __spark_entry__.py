@@ -11,12 +11,18 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pushkind_crawlers_spark.queries import ORACLE, QUERIES
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # make the package importable from any cwd
+    sys.path.insert(0, _REPO)
+
+from pushkind_crawlers_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

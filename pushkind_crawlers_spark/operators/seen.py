@@ -123,14 +123,25 @@ def build_bloom_distributed(
 
 
 def add_to_bloom(bloom: NumpyBloom, df: DataFrame, col: str) -> None:
-    """Incremental maintenance: OR the bitmap of a (small) new-keys frame in."""
+    """Incremental maintenance: OR the bitmap of a new-keys frame in.
+
+    The hash column is repartitioned up to the session's parallelism when
+    the source is narrow (a big seen table read from few 128MB parquet
+    splits would otherwise build the bitmap at scan width, serializing
+    the hashing). Only the int64 keys shuffle — 8 bytes/row."""
+    keys = df.select(col)
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    if keys.rdd.getNumPartitions() < width:
+        keys = keys.repartition(width)
+
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = NumpyBloom(bloom.n_bits, bloom.n_hashes)
         for pdf in batches:
             local.add(pdf[col].to_numpy(dtype=np.int64))
         yield pd.DataFrame({"words": [local.to_bytes()]})
 
-    for row in df.select(col).mapInPandas(part, "words binary").collect():
+    for row in keys.mapInPandas(part, "words binary").collect():
         bloom.union_words(np.frombuffer(row["words"], dtype=np.uint64))
 
 
@@ -261,12 +272,25 @@ def filter_new_urls(
     seen: DataFrame,
     bloom: NumpyBloom | None = None,
     n_buckets: int = 64,
+    confirm: str = "cuckoo",
 ) -> DataFrame:
     """Rows of ``candidates`` whose (url_hash, url) is not in ``seen``.
 
-    Exactly an anti-join, executed as: Bloom fast path -> cuckoo-bucket
-    confirm -> exact string equality.  ``candidates`` must carry
-    ``url_hash`` and ``url``; ``seen`` likewise.
+    Exactly an anti-join, executed as: Bloom fast path (trusted-new, no
+    false negatives) -> confirm of the maybe-seen residue -> exact string
+    equality.  ``confirm`` picks the residue strategy:
+
+    * ``"cuckoo"`` — hash-bucket cogroup with a per-bucket cuckoo filter
+      (the north-rule structure). At 10^10 rows this is the shape of a
+      storage-partitioned join against a bucketed seen table where each
+      executor CACHES its buckets' cuckoo filters across rounds, so the
+      seen table is neither reshuffled nor rescanned per round.
+    * ``"anti"`` — plain JVM anti-join of the residue. On a single node
+      (no bucket caching possible) this is faster — the cogroup's
+      Arrow->pandas conversion of the seen side is pure overhead when the
+      bucket filters can't persist anywhere.
+
+    Both are exact; both are property-tested equal to the naive anti-join.
     """
     if bloom is None:
         return candidates.join(
@@ -276,6 +300,12 @@ def filter_new_urls(
     flagged = candidates.withColumn("_maybe_seen", probe(F.col("url_hash")))
     fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+
+    if confirm == "anti":
+        survivors = maybe.join(
+            seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        )
+        return fresh.unionByName(survivors)
 
     cols = candidates.columns
     cand_b = maybe.withColumn("_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))

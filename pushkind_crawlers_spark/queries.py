@@ -579,6 +579,33 @@ def embed_fill_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Image decode + feature extraction over an opaque binary column
+    (input_hint payload shape). Images are synthesized deterministically
+    (the sf dirs carry no binary media); the decode/feature path is the
+    engine's production mapInPandas."""
+    import pandas as pd
+
+    from .operators.multimodal import extract_image_features
+    from .synth.worldgen import make_image_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "image_id": [f"img-q-{i:05d}" for i in ids],
+                "bytes": [make_image_bytes(13, f"img-q-{i:05d}", (32,)) for i in ids],
+                "fmt": ["png"] * len(ids),
+            })
+
+    imgs = spark.range(256).repartition(8).mapInPandas(
+        gen, "image_id string, bytes binary, fmt string"
+    )
+    return extract_image_features(imgs).select(
+        "image_id", "w", "h", "phash", F.round("mean_luma", 4).alias("mean_luma")
+    )
+
+
 def category_top1_q(spark: SparkSession, sf: str) -> DataFrame:
     """E7 top-1 category assignment: label-centroid vectors as the
     category matrix, argmax per embedding row (threshold dropped to keep
@@ -632,6 +659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk_q,
     "embed_fill": embed_fill_q,
     "category_top1": category_top1_q,
+    "multimodal_features": multimodal_features_q,
 }
 
 ORACLE: dict[str, str] = {

@@ -44,6 +44,24 @@ from pyspark.sql import functions as F
 from .snapshots import SnapshotStore, SnapshotTable
 
 
+def list_products(results: DataFrame, images: DataFrame,
+                  crawler_id: int | None = None) -> DataFrame:
+    """P1: filter scan + child-image fetch + group-by-product assembly
+    (product.rs:48-87): one row per product with its images collected in
+    image_id order (the reference returns them grouped per product)."""
+    r = results if crawler_id is None else results.filter(
+        F.col("crawler_id") == crawler_id
+    )
+    exploded = r.select("url", F.explode_outer("image_ids").alias("image_id"))
+    with_imgs = exploded.join(images, "image_id", "left")
+    assembled = with_imgs.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.struct("image_id", "bytes", "caption"))
+        ).alias("product_images")
+    )
+    return r.drop("image_ids").join(assembled, "url", "left")
+
+
 def merge_upsert(base: DataFrame, batch: DataFrame, keys: list[str],
                  update_cols: list[str] | None = None) -> DataFrame:
     """MERGE: matched rows take the batch's values, unmatched batch rows

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit entry point for a crawl run (north rule: runs are submitted
+via ``spark-submit --py-files`` to the cluster).
+
+Local smoke (the sandbox has no cluster — master comes from the submit):
+
+    cd /root/repo && zip -qr /tmp/pcs.zip pushkind_crawlers_spark
+    spark-submit --master 'local[8]' --py-files /tmp/pcs.zip \
+        spark_submit_main.py --store /tmp/crawl_store --seed 7 \
+        --hosts 2 --budget-scale 4
+
+On a real cluster the same invocation takes ``--master yarn`` /
+``--master k8s://...``; the engine itself is master-agnostic. Resume a
+checkpointed run by re-submitting with the same ``--store`` and
+``--resume`` (the run picks up from the last committed round's snapshot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str]) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--store", required=True, help="snapshot store root")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--hosts", type=int, default=3)
+    p.add_argument("--budget-scale", type=int, default=1)
+    p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args(argv)
+
+    # session comes from spark-submit (master/deploy-mode/conf on the CLI)
+    spark = SparkSession.builder.appName("pushkind-crawlers-spark").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from pushkind_crawlers_spark.plans.crawl import CrawlEngine
+    from pushkind_crawlers_spark.store.ops import RunLock
+    from pushkind_crawlers_spark.store.snapshots import SnapshotStore
+    from pushkind_crawlers_spark.synth.worldgen import SyntheticWorld, WorldConfig
+
+    world = SyntheticWorld(
+        WorldConfig(seed=args.seed, n_hosts=args.hosts, budget_scale=args.budget_scale)
+    )
+    engine = CrawlEngine(spark, world, args.store, run_id=args.run_id)
+    with RunLock(SnapshotStore(args.store)):  # G1/G2 single-writer guard
+        run = engine.run(max_rounds=args.max_rounds, resume=args.resume)
+    print(json.dumps({
+        "run_id": run.run_id,
+        "rounds": run.rounds,
+        "urls_scheduled": run.total_scheduled,
+        "per_round": [
+            {"round": m.round, "scheduled": m.scheduled, "fetched": m.fetched,
+             "links_new": m.links_new, "results_rows": m.results_rows,
+             "wall_s": round(m.wall_s, 2)}
+            for m in run.metrics
+        ],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

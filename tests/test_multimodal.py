@@ -1,0 +1,71 @@
+"""Multimodal binary-column operators: real PNG path + stub contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pushkind_crawlers_spark.operators import multimodal as M
+from pushkind_crawlers_spark.synth.png import decode_png
+from pushkind_crawlers_spark.synth.worldgen import make_image_bytes, make_image_pixels
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = [
+        ("im-0", make_image_bytes(9, "im-0", (32,)), "png"),
+        ("im-1", make_image_bytes(9, "im-1", (48,)), "png"),
+        ("im-2", make_image_bytes(9, "im-2", (32, 48)), "png"),
+    ]
+    return spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+
+def test_image_features(spark, images_df):
+    got = {r["image_id"]: r for r in M.extract_image_features(images_df).collect()}
+    for i in range(3):
+        r = got[f"im-{i}"]
+        px = make_image_pixels(9, f"im-{i}", (32,) if i == 0 else ((48,) if i == 1 else (32, 48)))
+        assert (r["h"], r["w"]) == px.shape[:2]
+        assert len(r["histogram"]) == 32
+        assert abs(sum(r["histogram"]) - 1.0) < 1e-3
+        assert 0.0 <= r["mean_luma"] <= 255.0
+        assert isinstance(r["phash"], int)
+
+
+def test_thumbnails_roundtrip(spark, images_df):
+    got = {r["image_id"]: r for r in M.make_thumbnails(images_df, out_size=16).collect()}
+    for r in got.values():
+        px = decode_png(bytes(r["bytes"]))
+        assert px.shape == (16, 16, 3)
+
+
+def test_lossy_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xff", fmt="jpeg")
+
+
+def test_resize_nn_exact_downscale():
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = M.resize_nn(px, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], px[0, 0]) and np.array_equal(out[3, 3], px[6, 6])
+
+
+def test_audio_features_pcm16(spark):
+    t = np.arange(16_000, dtype=np.float64)
+    wave = (np.sin(2 * np.pi * 440 * t / 16_000) * 10_000).astype("<i2")
+    df = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["a0"], "bytes": [wave.tobytes()]}),
+        "audio_id string, bytes binary",
+    )
+    out = df.mapInPandas(M.audio_features_fn(), M.AUDIO_FEATURES).collect()[0]
+    assert abs(out["duration_s"] - 1.0) < 1e-9
+    assert abs(out["rms"] - 10_000 / np.sqrt(2)) < 100
+
+
+def test_video_stub_contract(spark):
+    df = spark.createDataFrame([("v0", b"")], "video_id string, bytes binary")
+    with pytest.raises(Exception, match="video demux"):
+        df.mapInPandas(M.video_frame_sample_fn(), M.VIDEO_FRAMES).collect()

@@ -52,9 +52,11 @@ def test_cuckoo_no_false_negatives(residue_mod):
     assert (~ck.contains(keys)).sum() == 0
 
 
-def test_filter_new_urls_exact(spark):
+@pytest.mark.parametrize("confirm", ["cuckoo", "anti"])
+def test_filter_new_urls_exact(spark, confirm):
     """filter_new_urls == exact anti-join on a 60k/30k frontier with full
-    hash-residue structure (the distributed regression case)."""
+    hash-residue structure (the distributed regression case), for both
+    confirm strategies."""
     n_seen, n_cand = 30_000, 60_000
     url = lambda c: F.concat(  # noqa: E731
         F.lit("http://s"), (c % 8).cast("string"), F.lit(".test/p/"), c.cast("string")
@@ -72,7 +74,7 @@ def test_filter_new_urls_exact(spark):
     )
     bloom = NumpyBloom.sized_for(n_seen)
     add_to_bloom(bloom, seen, "url_hash")
-    got = {r["url"] for r in filter_new_urls(cand, seen, bloom).collect()}
+    got = {r["url"] for r in filter_new_urls(cand, seen, bloom, confirm=confirm).collect()}
     want = {r["url"] for r in cand.join(seen.select("url"), "url", "left_anti").collect()}
     assert got == want
     assert len(got) == n_cand - n_seen

@@ -11,6 +11,7 @@ from pushkind_crawlers_spark.store.ops import (
     assign_categories_guarded,
     cascade_delete,
     clear_categories_guarded,
+    list_products,
     merge_upsert,
     replace_children,
     set_embeddings,
@@ -34,6 +35,18 @@ def results_df(spark):
         " image_ids array<string>, category_id int,"
         " category_assignment_source string, round int",
     ).withColumn("embedding", F.lit(None).cast("array<float>"))
+
+
+def test_list_products_assembles_images(spark, results_df):
+    images = spark.createDataFrame(
+        [("i1", b"b1", "c1"), ("i2", b"b2", "c2"), ("i3", b"b3", "c3"), ("i4", b"b4", "c4")],
+        "image_id string, bytes binary, caption string",
+    )
+    got = {r["url"]: r for r in list_products(results_df, images, crawler_id=1).collect()}
+    assert set(got) == {"http://a/p/1", "http://a/p/2"}
+    p1 = got["http://a/p/1"]["product_images"]
+    assert [im["image_id"] for im in p1] == ["i1", "i2"]
+    assert bytes(p1[0]["bytes"]) == b"b1" and p1[1]["caption"] == "c2"
 
 
 def test_merge_upsert(spark, results_df):
