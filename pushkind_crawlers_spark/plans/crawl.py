@@ -450,6 +450,10 @@ class CrawlEngine:
             extra={"seq_base": seq_base + m.scheduled},
             append_tables={"seen", "results", "rejects", "images",
                            "crawl_order", "lineage"},
+            # append onto the snapshots this round READ — a crash between
+            # per-table publish and the run swap followed by a retry must
+            # not double-append onto the orphaned snapshot
+            parents=state["snapshot_ids"],
         )
         if self.bloom is not None:
             add_to_bloom(self.bloom, seen_add, "url_hash")

@@ -137,17 +137,22 @@ class SnapshotTable:
         return path, parquet_rows(path)
 
     def publish(self, path: str, row_count: int, properties: dict | None = None,
-                mode: str = "overwrite") -> int:
+                mode: str = "overwrite", parent_id: int | None = None) -> int:
         """Point the table at a staged directory.
 
         mode='overwrite': the snapshot is exactly ``path``.
         mode='append': the snapshot is parent.paths + [path] (delta commit);
         empty deltas reuse the parent paths without adding a directory.
+        ``parent_id`` pins the append base — a retried round MUST append
+        onto the snapshot its inputs were read from (recorded in the run
+        manifest), never onto a possibly-orphaned table ``current`` left
+        by a crash between per-table publish and the run-manifest swap.
         """
         m = self._read_manifest()
         next_id = (max((s["snapshot_id"] for s in m["snapshots"]), default=0)) + 1
-        if mode == "append" and m["current"] is not None:
-            parent = self._snapshot(m, m["current"])
+        base = parent_id if parent_id is not None else m["current"]
+        if mode == "append" and base is not None:
+            parent = self._snapshot(m, base)
             paths = self._snap_paths(parent) + ([path] if row_count > 0 else [])
             total = parent["row_count"] + row_count
         else:
@@ -230,17 +235,20 @@ class SnapshotStore:
         run_id: str,
         extra: dict | None = None,
         append_tables: set[str] | frozenset[str] = frozenset(),
+        parents: dict[str, int] | None = None,
     ) -> dict[str, int]:
         """Publish staged snapshots for several tables (append-mode for
         ``append_tables``, overwrite otherwise), then atomically record the
         round in the run manifest.  Readers resume from the run manifest,
         so a crash mid-publish is invisible (the previous round stays
-        current for the resume path)."""
+        current for the resume path).  ``parents`` pins each append's base
+        to the snapshot the round actually read (crash-retry safety)."""
         snapshot_ids = {}
         for name, (path, n) in staged.items():
             snapshot_ids[name] = self._tables[name].publish(
                 path, n, {"run_id": run_id, "round": round_no},
                 mode="append" if name in append_tables else "overwrite",
+                parent_id=(parents or {}).get(name),
             )
         state = {
             "run_id": run_id,

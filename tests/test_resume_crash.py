@@ -1,0 +1,65 @@
+"""Crash-window semantics of the snapshot commit protocol (north rule:
+resumable from checkpoint). A crash at ANY point before the run-manifest
+swap must leave the previous round fully intact for the resume path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pushkind_crawlers_spark.store.snapshots import SnapshotStore
+
+SCHEMA = T.StructType([T.StructField("x", T.LongType(), False)])
+
+
+def _vals(spark, table, sid=None):
+    return sorted(r["x"] for r in table.read(spark, sid).collect())
+
+
+def test_staged_but_unpublished_is_invisible(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path))
+    t = store.table("t", SCHEMA)
+    t.commit(spark.range(3).select(F.col("id").alias("x")))
+    # crash after writing data files, before the manifest swap
+    t.stage(spark.range(100, 103).select(F.col("id").alias("x")))
+    assert _vals(spark, t) == [0, 1, 2]
+
+
+def test_partial_round_publish_is_invisible_to_resume(spark, tmp_path):
+    """commit_round publishes per-table snapshots then swaps the run
+    manifest; a crash between the two leaves the run manifest on the old
+    round, and resume reads THROUGH the run manifest's snapshot ids —
+    never the tables' latest."""
+    store = SnapshotStore(str(tmp_path))
+    a = store.table("a", SCHEMA)
+    b = store.table("b", SCHEMA)
+    staged0 = {
+        "a": a.stage(spark.range(2).select(F.col("id").alias("x"))),
+        "b": b.stage(spark.range(2).select(F.col("id").alias("x"))),
+    }
+    store.commit_round(staged0, round_no=0, run_id="r")
+    state0 = store.read_run_state()
+
+    # round 1 "crashes" after publishing table a but before the run swap
+    pa, na = a.stage(spark.range(10, 12).select(F.col("id").alias("x")))
+    a.publish(pa, na, mode="append")
+    state = store.read_run_state()
+    assert state == state0                       # run manifest unmoved
+    # resume path: read through the recorded snapshot ids
+    assert _vals(spark, a, state["snapshot_ids"]["a"]) == [0, 1]
+    # the orphaned newer snapshot exists but is simply not referenced
+    assert _vals(spark, a) == [0, 1, 10, 11]
+
+    # the retried round pins its append parents to the snapshots it READ
+    # (state0) — the orphan must not be double-appended onto
+    staged1 = {
+        "a": a.stage(spark.range(10, 12).select(F.col("id").alias("x"))),
+        "b": b.stage(spark.range(10, 12).select(F.col("id").alias("x"))),
+    }
+    store.commit_round(staged1, round_no=1, run_id="r",
+                       append_tables={"a", "b"},
+                       parents=state0["snapshot_ids"])
+    state = store.read_run_state()
+    assert state["round"] == 1
+    assert _vals(spark, a, state["snapshot_ids"]["a"]) == [0, 1, 10, 11]
+    assert _vals(spark, b, state["snapshot_ids"]["b"]) == [0, 1, 10, 11]
