@@ -108,14 +108,24 @@ def robots_blocked_udf(rules: dict[str, list[str]]):
     return blocked
 
 
+def robots_flag(
+    candidates: DataFrame, politeness_rules: dict[str, list[str]],
+    flag_col: str = "_blocked",
+) -> DataFrame:
+    """Append a robots-blocked flag column (evaluated ONCE — callers that
+    need both halves should materialize this frame, then filter twice,
+    instead of re-running the UDF chain per half)."""
+    if not any(politeness_rules.values()):
+        return candidates.withColumn(flag_col, F.lit(False))
+    blocked = robots_blocked_udf(politeness_rules)
+    return candidates.withColumn(flag_col, blocked(F.col("host"), F.col("url")))
+
+
 def apply_robots(
     candidates: DataFrame, politeness_rules: dict[str, list[str]]
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (allowed, robots-rejected)."""
-    if not any(politeness_rules.values()):
-        return candidates, candidates.limit(0)
-    blocked = robots_blocked_udf(politeness_rules)
-    flagged = candidates.withColumn("_blocked", blocked(F.col("host"), F.col("url")))
+    flagged = robots_flag(candidates, politeness_rules)
     return (
         flagged.filter(~F.col("_blocked")).drop("_blocked"),
         flagged.filter(F.col("_blocked")).drop("_blocked"),

@@ -113,10 +113,12 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         F.col(id_col).alias("vec_id"),
         F.round(dot_col(F.col(vec_col), q), 4).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # distributed top-k: orderBy+limit plans as TakeOrdered (per-partition
+    # top-k then a k-row merge) — never a global single-reducer window
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))  # over k rows only
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "cosine", "rank")
     )
 
@@ -187,10 +189,10 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         F.col(id_col).alias("vec_id"),
         F.round(dot_col(F.col(vec_col), qcol), 4).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))  # over k rows only
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "cosine", "rank")
     )
 

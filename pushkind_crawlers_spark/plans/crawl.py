@@ -32,7 +32,8 @@ from pyspark.sql import types as T
 from .. import schemas
 from ..functions.parsing import amount_col, price_col, units_col, validate_products
 from ..functions.urlnorm import canonicalize_url_udf, host_of
-from ..operators.budget import apply_robots, host_splits, schedule_round
+from ..operators.budget import host_splits, robots_flag, schedule_round
+from ..operators.ordering import global_sequence
 from ..operators.priority import PriorityWeights, parity_priority, priority_udf
 from ..operators.seen import NumpyBloom, add_to_bloom, filter_new_urls
 from ..store.snapshots import SnapshotStore
@@ -303,12 +304,14 @@ class CrawlEngine:
             scheduled.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
         )
 
-        # ---- crawl-order seq (budget-bounded rows; single-window is safe) -
+        # ---- crawl-order seq (range-partitioned global numbering — no
+        # single-reducer sort; see operators/ordering.py) ------------------
         seq_base = int(state.get("seq_base", 0))
-        order_w = Window.orderBy("depth", "ord")
-        order_rows = scheduled.select(
-            (F.row_number().over(order_w) + F.lit(seq_base)).alias("seq"),
-            F.lit(round_no).alias("round"),
+        order_rows = global_sequence(
+            scheduled.select("url_hash", "url", "host", "depth", "ord"),
+            ["depth", "ord"], base=seq_base,
+        ).select(
+            "seq", F.lit(round_no).alias("round"),
             "url_hash", "url", "host", "depth", "ord",
         )
 
@@ -359,11 +362,16 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # axis A: bloom fast path + cuckoo-bucket confirm vs seen table
+        # axis A: bloom fast path + cuckoo-bucket confirm vs seen table;
+        # the robots flag is computed in the same pass and the flagged
+        # frame staged ONCE — both halves then filter the staged parquet
+        # instead of re-running the dedup+robots chain per half
         new_links = filter_new_urls(deduped, seen, self.bloom)
-        allowed, robots_rejected = apply_robots(new_links, self._robots_rules)
-        allowed, m.links_new = self._stage_df(allowed, round_no, "allowed")
-        robots_rejected, _ = self._stage_df(robots_rejected, round_no, "robots_rejected")
+        flagged, _ = self._stage_df(
+            robots_flag(new_links, self._robots_rules), round_no, "new_links"
+        )
+        allowed = flagged.filter(~F.col("_blocked")).drop("_blocked")
+        robots_rejected = flagged.filter(F.col("_blocked")).drop("_blocked")
 
         # ---- priority scoring (Arrow UDF unless parity fast path) --------
         # novelty is host-scoped here: the mean min-Hamming of this round's
@@ -426,25 +434,37 @@ class CrawlEngine:
                 F.lit(round_no).alias("round"),
             )
         )
-        staged = {
-            "frontier": self.store.table("frontier").stage(frontier_next),
-            "seen": self.store.table("seen").stage(seen_add),
-            "results": self.store.table("results").stage(results_new),
-            "rejects": self.store.table("rejects").stage(rejects_all),
-            "images": self.store.table("images").stage(images_new),
-            "crawl_order": self.store.table("crawl_order").stage(order_rows),
-            "lineage": self.store.table("lineage").stage(lineage_new),
+        # stage the 7 delta snapshots CONCURRENTLY (independent writes —
+        # Spark schedules jobs from multiple driver threads fine; the
+        # expensive inputs are already parquet-staged so each write is a
+        # cheap scan+write, and overlapping them hides per-job latency)
+        from concurrent.futures import ThreadPoolExecutor
+
+        to_stage = {
+            "frontier": frontier_next,
+            "seen": seen_add,
+            "results": results_new,
+            "rejects": rejects_all,
+            "images": images_new,
+            "crawl_order": order_rows,
+            "lineage": lineage_new,
         }
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = {
+                name: ex.submit(self.store.table(name).stage, df)
+                for name, df in to_stage.items()
+            }
+            staged = {name: f.result() for name, f in futs.items()}
         m.results_rows = staged["results"][1]
         # remaining metrics from the staged lineage files (driver-side read)
         import glob as _glob
 
         import pyarrow.parquet as _pq
 
-        m.fetched = sum(
-            int(_pq.read_table(f, columns=["fetched"])["fetched"].to_pandas().sum())
-            for f in _glob.glob(os.path.join(staged["lineage"][0], "*.parquet"))
-        )
+        for f in _glob.glob(os.path.join(staged["lineage"][0], "*.parquet")):
+            t = _pq.read_table(f, columns=["fetched", "links_new"])
+            m.fetched += int(t["fetched"].to_pandas().sum())
+            m.links_new += int(t["links_new"].to_pandas().sum())
         self.store.commit_round(
             staged, round_no, self.run_id,
             extra={"seq_base": seq_base + m.scheduled},

@@ -502,10 +502,11 @@ def ann_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
             F.round(dot_col(F.col("embedding"), F.col("q_vec")), 4).alias("cosine"),
         )
     )
+    # TakeOrdered top-k (distributed), then rank the k survivors
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "cosine", "rank")
     )
 
