@@ -197,6 +197,70 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 12,
+               seed: int = 11) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample — the
+    standard IVF training regime (train on a sample, assign distributed).
+    Pure numpy; k and sample are small by design."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    cents = sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(cents.shape[0]):
+            mask = assign == c
+            if mask.any():
+                cents[c] = sample[mask].mean(axis=0)
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Nearest-centroid id per vector — one matmul per Arrow batch."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2)
+        scores = mat @ cents.T - 0.5 * (cents ** 2).sum(axis=1)[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ann_ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_centroids: int = 16, n_probe: int = 3,
+                 sample_n: int = 2048, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: k-means buckets trained on a sample, corpus assigned via a
+    vectorized UDF, only the query's n_probe nearest buckets scored.
+
+    At 100 TB the centroid column is precomputed and the table partitioned
+    by it — a query prunes to n_probe/n_centroids of the data before any
+    scan (partition pruning), which is IVF's entire point.
+    """
+    sample_rows = emb.select(vec_col).limit(sample_n).collect()
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    cents = kmeans_fit(sample, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe_ids = np.argsort(((cents - q[None, :]) ** 2).sum(axis=1))[:n_probe]
+    assign = ivf_assign_udf(cents)
+    bucketed = emb.withColumn("_cent", assign(F.col(vec_col)))
+    cand = bucketed.filter(F.col("_cent").isin([int(c) for c in probe_ids]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(dot_col(F.col(vec_col), qcol), 4).alias("cosine"),
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "cosine", "rank")
+    )
+
+
 # -------------------------------------------------- E6/E7 association jobs
 
 def benchmark_topk_association(products: DataFrame, benchmark_vec: list[float],

@@ -566,6 +566,16 @@ def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN (kmeans centroids on a sample, n_probe buckets
+    scored). Not SQL-expressible (trained centroids)."""
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return S.ann_ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(qrow[0]), k=10
+    )
+
+
 def embed_fill_q(spark: SparkSession, sf: str) -> DataFrame:
     """E3 memoized embedding fill over documents (deterministic hash
     embedder UDF); returns id + first components + norm for stability."""
@@ -658,6 +668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     # UDF-backed scale paths (rows-only check)
     "ann_lsh_topk": ann_lsh_topk_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
     "embed_fill": embed_fill_q,
     "category_top1": category_top1_q,
     "multimodal_features": multimodal_features_q,

@@ -98,6 +98,23 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert len(exact & approx) >= 7   # multi-probe LSH recall on clustered data
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    import numpy as np
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(400):
+        v = centers[i % 4] + rng.standard_normal(16) * 0.3
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in centers[0] / np.linalg.norm(centers[0])]
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in S.ann_ivf_topk(emb, q, k=10, n_centroids=8,
+                                                  n_probe=3).collect()}
+    assert len(exact & approx) >= 8   # clustered data: probed buckets cover
+
+
 def test_benchmark_topk_threshold(spark):
     rows = [(1, f"u{i}", [1.0, 0.0]) for i in range(15)] + [
         (1, "far", [0.0, 1.0]), (2, "u-other", [1.0, 0.0])]
