@@ -66,11 +66,23 @@ class OracleCrawler:
         self.max_rounds = max_rounds
         self.use_robots = use_robots
 
+    def _budget(self, host: str) -> int:
+        """Politeness budget; unknown hosts get the engine's default
+        (operators/budget.py DEFAULT_BUDGET coalesce)."""
+        try:
+            return self.world.host_config(host).budget_per_round
+        except KeyError:
+            return 5
+
     def _robots_blocked(self, host: str, url: str) -> bool:
         if not self.use_robots:
             return False
+        try:
+            rules = self.world.host_config(host).robots_disallow
+        except KeyError:
+            return False
         path = url.split(host, 1)[1] if host in url else url
-        return any(path.startswith(p) for p in self.world.host_config(host).robots_disallow)
+        return any(path.startswith(p) for p in rules)
 
     def run(self) -> OracleResult:
         res = OracleResult()
@@ -93,8 +105,7 @@ class OracleCrawler:
             scheduled: list[dict] = []
             for host, rows in by_host.items():
                 rows.sort(key=lambda r: (r["depth"], r["ord"]))
-                b = self.world.host_config(host).budget_per_round
-                scheduled.extend(rows[:b])
+                scheduled.extend(rows[: self._budget(host)])
             sched_keys = {r["url"] for r in scheduled}
             frontier = [r for r in frontier if r["url"] not in sched_keys]
             scheduled.sort(key=lambda r: (r["depth"], r["ord"]))
