@@ -160,6 +160,88 @@ FROM g GROUP BY user_id
 """
 
 
+def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP aggregation (subtotal + grand-total rows)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def exact_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles per group (no sketch)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+SQL_PERCENTILE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def corr_subquery_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery shape: customers above their nation's average
+    balance (decorrelated to a join+agg by both planners)."""
+    c = load(spark, sf, "customer")
+    avg_n = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(avg_n, "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+SQL_CORR_SUBQUERY = """
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                   WHERE i.c_nationkey = c.c_nationkey)
+"""
+
+
+def ntile_decile(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile assignment over a deterministic total order."""
+    o = load(spark, sf, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select("o_orderkey", F.ntile(10).over(w).alias("decile"))
+
+
+SQL_NTILE = """
+SELECT o_orderkey,
+       ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS decile
+FROM orders
+"""
+
+
+def distinct_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct count per group (two-level hash aggregate)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_PARTS = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
 # =====================================================================
 # Crawl-operator parity queries (SURVEY.md §2.1/2.2/2.3 SQL-expressible)
 # =====================================================================
@@ -639,6 +721,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_revenue": q3_top_revenue,
     "q5_nation_revenue": q5_nation_revenue,
     "events_sessionize": events_sessionize,
+    "rollup_revenue": rollup_revenue,
+    "exact_percentile": exact_percentile,
+    "corr_subquery_acctbal": corr_subquery_acctbal,
+    "ntile_decile": ntile_decile,
+    "distinct_parts": distinct_parts,
     # crawl-operator parity (SURVEY.md §2)
     "first_wins_dedup": first_wins_dedup,
     "pagination_expand": pagination_expand,
@@ -679,6 +766,11 @@ ORACLE: dict[str, str] = {
     "q3_top_revenue": SQL_Q3,
     "q5_nation_revenue": SQL_Q5,
     "events_sessionize": SQL_SESSIONIZE,
+    "rollup_revenue": SQL_ROLLUP,
+    "exact_percentile": SQL_PERCENTILE,
+    "corr_subquery_acctbal": SQL_CORR_SUBQUERY,
+    "ntile_decile": SQL_NTILE,
+    "distinct_parts": SQL_DISTINCT_PARTS,
     "first_wins_dedup": SQL_FIRST_WINS,
     "pagination_expand": SQL_PAGINATION,
     "anti_join_new": SQL_ANTI_JOIN,
