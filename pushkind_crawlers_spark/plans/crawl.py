@@ -333,7 +333,10 @@ class CrawlEngine:
         # ---- results: parse + validate + variant explosion ----------------
         products = fetched.filter((F.col("kind") == "product") & F.col("ok"))
         results_new, rejects_new = self._build_results(products, round_no)
-        results_new, _ = self._stage_df(results_new, round_no, "results_new")
+        # stage straight into the results table's data dir — the commit
+        # publishes this same directory, so the round writes results once
+        results_staged = self.store.table("results").stage(results_new)
+        results_new = self.spark.read.schema(schemas.RESULTS).parquet(results_staged[0])
         rejects_val = rejects_new.select(
             "url", "host", "reject_reason", F.lit(round_no).alias("round")
         )
@@ -443,7 +446,6 @@ class CrawlEngine:
         to_stage = {
             "frontier": frontier_next,
             "seen": seen_add,
-            "results": results_new,
             "rejects": rejects_all,
             "images": images_new,
             "crawl_order": order_rows,
@@ -455,6 +457,7 @@ class CrawlEngine:
                 for name, df in to_stage.items()
             }
             staged = {name: f.result() for name, f in futs.items()}
+        staged["results"] = results_staged  # written once, earlier
         m.results_rows = staged["results"][1]
         # remaining metrics from the staged lineage files (driver-side read)
         import glob as _glob
