@@ -34,35 +34,55 @@ from pyspark.sql.types import BooleanType
 DEFAULT_BUDGET = 5
 
 
-def host_splits(frontier: DataFrame, rows_per_salt: int = 100_000, max_splits: int = 64) -> dict[str, int]:
-    """Per-host salt counts scaled to frontier volume (hot-host skew split)."""
-    counts = frontier.groupBy("host").count().collect()
-    return {
-        r["host"]: max(1, min(max_splits, int(r["count"] // rows_per_salt) + 1))
-        for r in counts
-    }
+def host_splits(frontier: DataFrame, rows_per_salt: int = 100_000, max_splits: int = 64) -> DataFrame:
+    """Per-host salt counts scaled to frontier volume (hot-host skew split).
+
+    Returns a ``(host, _splits)`` DataFrame — never a driver-side dict:
+    at web scale the frontier spans 10^6-10^7 hosts and a per-round
+    collect would bottleneck the driver.  The aggregate shuffles 8-byte
+    counts on the same key the budget window needs anyway.
+    """
+    return (
+        frontier.groupBy("host").agg(F.count(F.lit(1)).alias("_hc"))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(max_splits),
+                    (F.col("_hc") / F.lit(rows_per_salt)).cast("int") + F.lit(1),
+                ),
+            ).alias("_splits"),
+        )
+    )
 
 
 def schedule_round(
     frontier: DataFrame,
     politeness: DataFrame,
     default_budget: int = DEFAULT_BUDGET,
-    splits: dict[str, int] | None = None,
+    splits: DataFrame | dict[str, int] | None = None,
 ) -> DataFrame:
     """Deterministic per-host top-``budget_per_round`` of the frontier.
 
     Order key: (priority desc, depth asc, ord asc) — with the parity
     priority (-depth) this is exactly the oracle's (depth, ord) prefix.
+
+    ``splits``: a ``(host, _splits)`` DataFrame (the :func:`host_splits`
+    aggregate — the scale path), or a small dict for tests/benchmarks.
     """
-    if splits is None:
-        splits = host_splits(frontier)
     spark = frontier.sparkSession
-    splits_df = F.broadcast(
-        spark.createDataFrame(
-            [(h, s) for h, s in splits.items()] or [("__none__", 1)],
-            "host string, _splits int",
+    if splits is None:
+        splits_df = host_splits(frontier)
+    elif isinstance(splits, dict):
+        splits_df = F.broadcast(
+            spark.createDataFrame(
+                [(h, s) for h, s in splits.items()] or [("__none__", 1)],
+                "host string, _splits int",
+            )
         )
-    )
+    else:
+        splits_df = splits
     budgets = F.broadcast(
         politeness.select(
             "host", F.col("budget_per_round").alias("_budget")

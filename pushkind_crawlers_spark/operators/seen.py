@@ -272,7 +272,7 @@ def filter_new_urls(
     seen: DataFrame,
     bloom: NumpyBloom | None = None,
     n_buckets: int = 64,
-    confirm: str = "cuckoo",
+    confirm: str = "anti",
 ) -> DataFrame:
     """Rows of ``candidates`` whose (url_hash, url) is not in ``seen``.
 
@@ -280,15 +280,19 @@ def filter_new_urls(
     false negatives) -> confirm of the maybe-seen residue -> exact string
     equality.  ``confirm`` picks the residue strategy:
 
+    * ``"anti"`` (default) — plain JVM anti-join of the residue. This is
+      the single-node-optimal path and the default: without a cluster's
+      stable partition->executor mapping the per-bucket filters cannot
+      persist anywhere, so the cogroup's Arrow->pandas conversion of the
+      seen side is pure overhead rebuilt every round (BENCH.md measures
+      it). The Bloom fast path already removes the bulk of the residue.
     * ``"cuckoo"`` — hash-bucket cogroup with a per-bucket cuckoo filter
-      (the north-rule structure). At 10^10 rows this is the shape of a
-      storage-partitioned join against a bucketed seen table where each
-      executor CACHES its buckets' cuckoo filters across rounds, so the
-      seen table is neither reshuffled nor rescanned per round.
-    * ``"anti"`` — plain JVM anti-join of the residue. On a single node
-      (no bucket caching possible) this is faster — the cogroup's
-      Arrow->pandas conversion of the seen side is pure overhead when the
-      bucket filters can't persist anywhere.
+      (the north-rule structure): explicitly the CLUSTER option. At
+      10^10 rows this is the shape of a storage-partitioned join against
+      a bucketed seen table where each executor caches its buckets'
+      cuckoo filters across rounds, so the seen table is neither
+      reshuffled nor rescanned per round; insert/delete support is why
+      cuckoo (not Bloom) is the per-bucket structure.
 
     Both are exact; both are property-tested equal to the naive anti-join.
     """

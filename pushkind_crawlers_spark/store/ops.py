@@ -69,6 +69,12 @@ def merge_upsert(base: DataFrame, batch: DataFrame, keys: list[str],
 
     ``update_cols``: columns the batch overwrites; all others keep the
     base value on matched rows. Batch must be key-unique.
+
+    Scale note: the join is a plain shuffle-on-key full_outer — Spark
+    cannot build a broadcast-hash join for full_outer, so a broadcast
+    hint would either be ignored or degrade to BroadcastNestedLoopJoin;
+    with a crawl-round-sized batch (every round's results) that would be
+    a scale-killer. The shuffle is on the merge key only.
     """
     cols = base.columns
     update_cols = update_cols or [c for c in batch.columns if c not in keys]
@@ -78,7 +84,7 @@ def merge_upsert(base: DataFrame, batch: DataFrame, keys: list[str],
         F.lit(True).alias("_matched"),
     )
     cond = [F.col(k) == F.col(f"_k_{k}") for k in keys]
-    joined = base.join(F.broadcast(b), cond, "full_outer")
+    joined = base.join(b, cond, "full_outer")
     out_cols = []
     for c in cols:
         if c in keys:

@@ -69,3 +69,47 @@ def test_text_ops_stay_jvm(spark):
     for name in ("text_quality", "text_token_count", "doc_fingerprint", "text_lang_id"):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name  # row-at-a-time Python banned
+
+
+def test_merge_upsert_no_broadcast_nested_loop(spark):
+    """Broadcast-hash is unsupported for full_outer; a hint there either
+    dies or degrades to BroadcastNestedLoopJoin — the merge must plan as
+    a plain shuffle join on the key (VERDICT r01 #5)."""
+    from pyspark.sql import functions as F
+
+    from pushkind_crawlers_spark.store.ops import merge_upsert
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"), F.lit("x").alias("tag")
+    )
+    batch = spark.range(0, 1000, 7).select(F.col("id").alias("k"), F.lit(9.9).alias("v"))
+    merged = merge_upsert(base, batch, keys=["k"], update_cols=["v"])
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_budget_is_fully_distributed():
+    """host_splits must not collect per-host counts to the driver — at
+    web scale the frontier spans millions of hosts (VERDICT r01 #7)."""
+    import inspect
+
+    from pushkind_crawlers_spark.operators import budget
+
+    assert ".collect()" not in inspect.getsource(budget)
+
+
+def test_host_splits_is_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from pushkind_crawlers_spark.operators.budget import host_splits
+
+    frontier = spark.range(250).select(
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+        F.col("id").cast("string").alias("url"),
+    )
+    out = host_splits(frontier, rows_per_salt=50, max_splits=4)
+    rows = {r["host"]: r["_splits"] for r in out.collect()}
+    # ~83 rows/host -> 83//50 + 1 = 2 splits each, capped at 4
+    assert rows == {"h0": 2, "h1": 2, "h2": 2}
