@@ -22,7 +22,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:  # make the package importable from any cwd
     sys.path.insert(0, _REPO)
 
-from pushkind_crawlers_spark.queries import ORACLE, QUERIES  # noqa: E402
+from pushkind_crawlers_spark.queries import QUERIES, full_oracle  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -53,4 +53,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return full_oracle()

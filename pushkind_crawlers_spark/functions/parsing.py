@@ -120,6 +120,46 @@ def validate_products(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, rejects
 
 
+_ENTITIES = [  # decode order matters: &amp; must be LAST (it escapes the escaper)
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+]
+
+
+def unescape_entities_col(col: Column) -> Column:
+    """S6: HTML entity decode before JSON parse (the reference unescapes
+    embedded product JSON at src/crawlers/rusteaco.rs:275). Covers the
+    named entities HTML-escaped JSON actually contains; pure JVM
+    ``replace`` chain, SQL-twinnable via nested replace()."""
+    out = col
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def unescape_entities_sql(expr: str) -> str:
+    """DuckDB twin of :func:`unescape_entities_col`."""
+    out = expr
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return out
+
+
+def unescape_entities_py(value: str | None) -> str | None:
+    if value is None:
+        return None
+    out = value
+    for ent, ch in _ENTITIES:
+        out = out.replace(ent, ch)
+    return out
+
+
 # --------------------------------------------------------------- Python twin
 
 def parse_amount_units_py(value: str | None) -> tuple[float, str]:

@@ -268,23 +268,30 @@ def simhash_near_pairs_sql(table: str = "documents", text_expr: str = "text",
 # ------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", block_col: str = "source",
-                        k: int = SHINGLE_K, threshold: float = 0.5) -> DataFrame:
-    """Blocked pairwise Jaccard over distinct word k-grams.
+                        id_col: str = "doc_id",
+                        k: int = SHINGLE_K, threshold: float = 0.5,
+                        n_hashes: int = N_MINHASHES) -> DataFrame:
+    """Exact Jaccard over distinct word k-grams, confirmed ONLY on
+    MinHash-LSH candidate pairs.
 
-    Pairs are generated only within a blocking key (never a full cross
-    join); the intersection count is a shingle-keyed join + groupBy.
+    Pair generation never blocks on a coarse natural key (a big block is
+    all-pairs at web scale — the r01 scale flaw): candidates come from
+    the (hash_idx, minhash) LSH buckets, so every join in the plan is
+    keyed fine-grained — candidates on doc id, intersection on
+    (doc id, shingle). An LSH candidate set provably contains every pair
+    sharing any minimum shingle; pairs the LSH misses are below the
+    bands' similarity floor by construction.
     """
     sh = shingles(docs, text_col, id_col, k)
-    blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"))
-    sh = sh.join(blocks, "doc_id")
+    cand = lsh_candidate_pairs(docs, text_col, id_col, n_hashes, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("b_shingle"))
     inter = (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"),
-                      F.col("a.shingle") == F.col("b.shingle"),
-                      F.col("a.doc_id") < F.col("b.doc_id")])
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sha, "doc_a")
+        .join(shb, on=[F.col("doc_b") == F.col("b_doc"),
+                       F.col("shingle") == F.col("b_shingle")])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -302,19 +309,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard_pairs_sql(table: str = "documents", text_expr: str = "text",
-                            id_col: str = "doc_id", block_col: str = "source",
-                            k: int = SHINGLE_K, threshold: float = 0.5) -> str:
+                            id_col: str = "doc_id",
+                            k: int = SHINGLE_K, threshold: float = 0.5,
+                            n_hashes: int = N_MINHASHES) -> str:
     sh = shingles_sql(table, text_expr, id_col, k)
+    cand = lsh_candidate_pairs_sql(table, text_expr, id_col, n_hashes, k)
     return f"""
-    WITH sh AS (
-      SELECT s.doc_id, s.shingle, d.{block_col} AS blk
-      FROM ({sh}) s JOIN {table} d ON s.doc_id = d.{id_col}
-    ), sizes AS (
+    WITH sh AS ({sh}), cand AS ({cand}),
+    sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b
-        ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -337,19 +345,51 @@ def dot_col(a: Column, b: Column) -> Column:
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
-                            id_col: str = "vec_id", block_col: str = "label",
-                            threshold: float = 0.95) -> DataFrame:
-    """Cosine near-dup pairs, blocked by a coarse key (label / LSH bucket).
+NEARDUP_PLANES = 4
+NEARDUP_SEED = 7
+NEARDUP_DIM = 64
 
-    Vectors are assumed L2-normalized (the engine's embedder guarantees
-    it, mirroring /root/reference/src/processing/embedding.rs:28-35), so
-    cosine == dot. The pair join shuffles on the block key only.
+
+def plane_sig_sql(planes, vec_expr: str) -> str:
+    """Hyperplane-LSH signature as a pure-SQL expression over an array
+    column: bit j set iff dot(plane_j, vec) > 0. The plane coefficients
+    are embedded as literals (seeded numpy — identical on both engines;
+    the sign decision is boundary-safe because |dot| < 1e-13 is
+    astronomically unlikely for gaussian planes × real embeddings)."""
+    terms = []
+    for j in range(planes.shape[0]):
+        dot = " + ".join(
+            f"({planes[j][i]:.17g}) * CAST({vec_expr}[{i + 1}] AS DOUBLE)"
+            for i in range(planes.shape[1])
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95,
+                            n_planes: int = NEARDUP_PLANES,
+                            seed: int = NEARDUP_SEED,
+                            dim: int = NEARDUP_DIM) -> DataFrame:
+    """Cosine near-dup pairs blocked by hyperplane-LSH buckets.
+
+    The pair join shuffles on the signature bucket — NOT on a coarse
+    natural key like `label` (the r01 scale flaw: one big label block is
+    all-pairs). Bucket population is ~n/2^n_planes and shrinks
+    geometrically with planes, so the within-bucket pair join stays
+    bounded at any corpus size; at 100 TB the bucket column is
+    precomputed and the table clustered by it. Vectors are assumed
+    L2-normalized (the engine's embedder guarantees it, mirroring
+    /root/reference/src/processing/embedding.rs:28-35), so cosine == dot.
     """
+    from .similarity import hyperplanes, lsh_bucket_udf  # late: avoid cycle
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(planes)
     sel = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        F.col(block_col).alias("blk"),
-    )
+    ).withColumn("blk", bucket(F.col("vec")))
     a, b = sel.alias("a"), sel.alias("b")
     return (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.vid") < F.col("b.vid")])
@@ -362,14 +402,20 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
 
 
 def embedding_neardup_pairs_sql(table: str = "embeddings", vec_col: str = "embedding",
-                                id_col: str = "vec_id", block_col: str = "label",
-                                threshold: float = 0.95) -> str:
+                                id_col: str = "vec_id",
+                                threshold: float = 0.95,
+                                n_planes: int = NEARDUP_PLANES,
+                                seed: int = NEARDUP_SEED,
+                                dim: int = NEARDUP_DIM) -> str:
+    from .similarity import hyperplanes  # late import: avoid module cycle
+
+    sig = plane_sig_sql(hyperplanes(dim, n_planes, seed), vec_col)
     return f"""
-    WITH pairs AS (
-      SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
-             a.{vec_col} AS va, b.{vec_col} AS vb
-      FROM {table} a JOIN {table} b
-        ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    WITH bkt AS (
+      SELECT {id_col} AS vid, {vec_col} AS vec, {sig} AS blk FROM {table}
+    ), pairs AS (
+      SELECT a.vid AS vec_a, b.vid AS vec_b, a.vec AS va, b.vec AS vb
+      FROM bkt a JOIN bkt b ON a.blk = b.blk AND a.vid < b.vid
     )
     SELECT vec_a, vec_b,
            round(SUM(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), 4) AS cosine

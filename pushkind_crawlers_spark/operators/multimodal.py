@@ -22,8 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..synth.lossy import MAGIC as _LOSSY_MAGIC
+from ..synth.lossy import decode_lossy
 from ..synth.phash import gray32, phash64_batch
-from ..synth.png import decode_png, encode_png
+from ..synth.png import _PNG_SIG, decode_png, encode_png
 
 IMAGE_FEATURES = T.StructType([
     T.StructField("image_id", T.StringType(), False),
@@ -43,15 +45,29 @@ THUMBNAILS = T.StructType([
 ])
 
 
+def sniff_format(data: bytes) -> str:
+    """Container detection from magic bytes (what a crawler does anyway —
+    Content-Type headers lie)."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:4] == _LOSSY_MAGIC:
+        return "jpg"
+    return "unknown"
+
+
 def decode_image(data: bytes, fmt: str = "png") -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Only 'png' decodes in this container (pure-zlib codec). Lossy formats
-    raise — the cluster build swaps in a real codec here, and the
-    north-rule invariant for them is PSNR>=40dB instead of exactness.
+    'png' is lossless (pure-zlib codec, decoded pixels exact);
+    'jpg'/'jpeg' is the LJQ1 DCT-quantized lossy codec whose parity
+    invariant is PSNR>=40dB vs the source pixels (north-rule input_hint).
+    A cluster build swaps a real libjpeg decoder into this dispatch
+    without touching any plan. Other formats raise.
     """
     if fmt == "png":
         return decode_png(data)
+    if fmt in ("jpg", "jpeg", "lossy"):
+        return decode_lossy(data)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available offline (plumbing is format-agnostic)"
     )

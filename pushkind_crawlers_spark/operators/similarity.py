@@ -239,9 +239,18 @@ def ann_ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     At 100 TB the centroid column is precomputed and the table partitioned
     by it — a query prunes to n_probe/n_centroids of the data before any
     scan (partition pruning), which is IVF's entire point.
+
+    The training sample is the first ``sample_n`` rows by id (TakeOrdered
+    — a bounded, DETERMINISTIC collect; a bare limit() samples whatever
+    partition answers first, which breaks run-to-run reproducibility).
+    With ``n_probe == n_centroids`` the result provably equals the exact
+    top-k (partition completeness) — that exactness is the driver-gate
+    check; the recall bound for partial probing is pytest-asserted.
     """
-    sample_rows = emb.select(vec_col).limit(sample_n).collect()
-    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    sample_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    sample = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
     cents = kmeans_fit(sample, n_centroids, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
     probe_ids = np.argsort(((cents - q[None, :]) ** 2).sum(axis=1))[:n_probe]

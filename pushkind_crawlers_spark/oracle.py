@@ -140,6 +140,16 @@ class OracleCrawler:
                     ln["fetch_errors"] += 1
                     continue
                 ln["fetched"] += 1
+                if doc.kind != "product":
+                    # non-product imagery (category banners) lands in the
+                    # images table too; product images append in
+                    # _emit_product (valid rows only — invalid products
+                    # carry no images in the world by construction)
+                    for im in doc.images:
+                        res.images.append(
+                            {"image_id": im["image_id"], "caption": im["caption"],
+                             "url": row["url"]}
+                        )
                 if doc.kind == "seed":
                     for j, link in enumerate(doc.out_links):
                         candidates.append(

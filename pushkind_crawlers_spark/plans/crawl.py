@@ -34,14 +34,23 @@ from ..functions.parsing import amount_col, price_col, units_col, validate_produ
 from ..functions.urlnorm import canonicalize_url_udf, host_of
 from ..operators.budget import host_splits, robots_flag, schedule_round
 from ..operators.ordering import global_sequence
-from ..operators.priority import PriorityWeights, parity_priority, priority_udf
+from ..operators.priority import (
+    PriorityWeights,
+    novelty_udf,
+    parity_priority,
+    priority_udf,
+)
 from ..operators.seen import NumpyBloom, add_to_bloom, filter_new_urls
 from ..store.snapshots import SnapshotStore
-from ..synth.png import decode_png
 from ..synth.phash import gray32, phash64_batch
 from ..synth.worldgen import SyntheticWorld
 
 _FETCHED_COLS = [f.name for f in schemas.FETCHED.fields]
+
+# images + the parent page's url_hash (novelty attribution)
+_IMG_DECODED = T.StructType(
+    list(schemas.IMAGES.fields) + [T.StructField("url_hash", T.LongType(), True)]
+)
 
 
 def hseg_col(idx) -> F.Column:
@@ -77,6 +86,14 @@ def make_world_fetch_fn(world: SyntheticWorld) -> Callable:
                         ok=True, kind=doc.kind, last_page=int(doc.last_page),
                         out_links=list(doc.out_links),
                     )
+                    if doc.images:
+                        # any page kind may carry imagery (category banners
+                        # feed the parent-scoped novelty term)
+                        base["images"] = [
+                            {"image_id": im["image_id"], "bytes": im["bytes"],
+                             "caption": im["caption"]}
+                            for im in doc.images
+                        ]
                     if doc.payload:
                         p = doc.payload
                         base.update(
@@ -84,11 +101,6 @@ def make_world_fetch_fn(world: SyntheticWorld) -> Callable:
                             units_raw=p["units"], price_str=p["price_str"],
                             amount_str=p["amount_str"], description=p["description"],
                             variants_json=doc.variants_json,
-                            images=[
-                                {"image_id": im["image_id"], "bytes": im["bytes"],
-                                 "caption": im["caption"]}
-                                for im in doc.images
-                            ],
                         )
                 rows.append(base)
             yield pd.DataFrame(rows, columns=_FETCHED_COLS)
@@ -97,22 +109,32 @@ def make_world_fetch_fn(world: SyntheticWorld) -> Callable:
 
 
 def decode_images_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched image decode + batched-DCT phash (input_hint columns)."""
+    """Arrow-batched image decode + batched-DCT phash (input_hint columns).
+
+    The container is sniffed from magic bytes per payload (PNG exact,
+    LJQ1 lossy with the PSNR>=40dB parity bar); fmt lands in the images
+    table so downstream consumers know which invariant applies."""
+    from ..operators.multimodal import decode_image, sniff_format
+
     for pdf in batches:
         n = len(pdf)
         ws, hs, fmts, grays = [], [], [], np.zeros((n, 32, 32))
         for i, data in enumerate(pdf["bytes"]):
-            px = decode_png(bytes(data))
+            raw = bytes(data)
+            fmt = sniff_format(raw)
+            px = decode_image(raw, fmt)
             hs.append(px.shape[0])
             ws.append(px.shape[1])
-            fmts.append("png")
+            fmts.append(fmt)
             grays[i] = gray32(px)
-        out = pdf[["image_id", "bytes", "caption"]].copy()
+        # passthrough columns (parent url_hash / host for novelty lineage)
+        extra = [c for c in pdf.columns if c not in ("image_id", "bytes", "caption")]
+        out = pdf[["image_id", "bytes", "caption", *extra]].copy()
         out["w"] = pd.Series(ws, index=pdf.index, dtype="int32")
         out["h"] = pd.Series(hs, index=pdf.index, dtype="int32")
         out["fmt"] = fmts
         out["phash"] = phash64_batch(grays)
-        yield out[["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+        yield out[["image_id", "bytes", "w", "h", "fmt", "caption", "phash", *extra]]
 
 
 @dataclass
@@ -342,12 +364,21 @@ class CrawlEngine:
         )
 
         # ---- images: decode + phash (input_hint columns) ------------------
+        # every fetched page's imagery (products + category banners); the
+        # parent url_hash rides through the decode so the novelty term can
+        # attribute each phash to the page that served it
+        decoded = None
         if self.keep_images:
-            images_new = (
-                products.select(F.explode("images").alias("im"))
-                .select("im.image_id", "im.bytes", "im.caption")
-                .mapInPandas(decode_images_fn, schemas.IMAGES)
+            img_in = (
+                fetched.filter(F.col("ok") & F.col("images").isNotNull())
+                .select("url_hash", F.explode("images").alias("im"))
+                .select("url_hash", "im.image_id", "im.bytes", "im.caption")
             )
+            decoded = img_in.mapInPandas(decode_images_fn, _IMG_DECODED)
+            if self.weights.novelty > 0.0:
+                # two consumers (images table + novelty agg): stage once
+                decoded, _ = self._stage_df(decoded, round_no, "images_decoded")
+            images_new = decoded.select(*[f.name for f in schemas.IMAGES.fields])
         else:
             images_new = self.spark.createDataFrame([], schemas.IMAGES)
 
@@ -376,39 +407,55 @@ class CrawlEngine:
         allowed = flagged.filter(~F.col("_blocked")).drop("_blocked")
         robots_rejected = flagged.filter(F.col("_blocked")).drop("_blocked")
 
-        # ---- priority scoring (Arrow UDF unless parity fast path) --------
-        # novelty is host-scoped here: the mean min-Hamming of this round's
-        # image phashes vs the already-seen sample boosts hosts serving
-        # novel imagery; the depth term dominates so only within-depth
-        # order changes (SURVEY.md §4.4 tie-break contract).
+        # ---- priority scoring (Arrow UDFs unless parity fast path) --------
+        # novelty is PARENT-scoped: each new link inherits the mean
+        # min-Hamming (vs the already-seen phash sample) of the images on
+        # the page that discovered it, so links from pages serving novel
+        # imagery are crawled sooner. The depth term dominates, so only
+        # within-depth order changes (SURVEY.md §4.4 tie-break contract).
         if self.weights.novelty > 0.0 or self.weights.budget > 0.0:
-            sample = np.array(
-                [r["phash"] for r in dfs["images"].select("phash").limit(4096).collect()],
-                dtype=np.int64,
-            )
-            host_novelty = (
-                images_new.select(
-                    F.regexp_extract("image_id", r"^img-([^-]+)-", 1).alias("host"),
-                    "phash",
+            joined = allowed
+            nov_col = F.lit(0.0)
+            press_col = F.lit(0.0)
+            if self.weights.novelty > 0.0:
+                if decoded is None:
+                    raise ValueError("novelty weight requires keep_images=True")
+                # deterministic seen-sample: first 4096 phashes by image_id
+                # (TakeOrdered — a bare limit() samples nondeterministically)
+                sample = np.array(
+                    [r["phash"] for r in dfs["images"].select("image_id", "phash")
+                     .orderBy("image_id").limit(4096).collect()],
+                    dtype=np.int64,
                 )
-                .groupBy("host")
-                .agg(F.collect_list("phash").alias("phashes"))
-            )
-            score = priority_udf(self.weights, sample)
+                nov = novelty_udf(sample)
+                parent_nov = (
+                    decoded.select("url_hash", "phash")
+                    .withColumn("_nov1", nov(F.col("phash")))
+                    .groupBy("url_hash")
+                    .agg(F.avg("_nov1").alias("_novelty"))
+                    .withColumnRenamed("url_hash", "parent_hash")
+                )
+                joined = joined.join(parent_nov, "parent_hash", "left")
+                nov_col = F.coalesce(F.col("_novelty"), F.lit(0.0))
+            if self.weights.budget > 0.0:
+                budgets = self._politeness.select(
+                    "host", F.col("budget_per_round").alias("_bud")
+                )
+                press = (
+                    remainder.groupBy("host").agg(F.count(F.lit(1)).alias("_bk"))
+                    .join(budgets, "host", "left")
+                    .select(
+                        "host",
+                        (F.col("_bk") / (F.col("_bk") + F.coalesce(F.col("_bud"), F.lit(5))))
+                        .alias("_press"),
+                    )
+                )
+                joined = joined.join(press, "host", "left")
+                press_col = F.coalesce(F.col("_press"), F.lit(0.0))
+            score = priority_udf(self.weights)
             frontier_add = (
-                allowed.join(
-                    F.broadcast(
-                        host_novelty.select(
-                            "host", F.element_at("phashes", 1).alias("host_phash")
-                        )
-                    ),
-                    "host",
-                    "left",
-                )
-                .withColumn(
-                    "priority", score(F.col("depth"), F.col("host_phash"), F.lit(0.0))
-                )
-                .drop("host_phash")
+                joined.withColumn("priority", score(F.col("depth"), nov_col, press_col))
+                .drop("_novelty", "_press")
             )
         else:
             frontier_add = allowed.withColumn("priority", parity_priority(F.col("depth")))

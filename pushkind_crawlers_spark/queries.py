@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as X
-from .functions.parsing import amount_col, price_col, units_col
+from .functions.parsing import amount_col, price_col, units_col, validate_products
 from .operators import dedup as D
 from .operators.dedup import dot_col
 from .operators import similarity as S
@@ -539,6 +539,221 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def prompt_template(spark: SparkSession, sf: str) -> DataFrame:
+    """S7 prompt template: the 7-field newline-joined embedding prompt
+    (embedding.rs:11-23; golden string benchmark.rs:198-212) over part
+    columns. Price/amount go through a decimal(18,2)/int cast so the
+    string rendering is dialect-identical."""
+    p = load(spark, sf, "part")
+    price_s = F.round(F.col("p_retailprice"), 2).cast("decimal(18,2)").cast("string")
+    return p.select(
+        "p_partkey",
+        S.prompt_col(
+            F.col("p_name"), F.col("p_partkey").cast("string"),
+            F.col("p_type"), F.col("p_brand"),
+            price_s, F.col("p_size").cast("string"), F.col("p_name"),
+        ).alias("prompt"),
+    )
+
+
+SQL_PROMPT = """
+SELECT p_partkey,
+       'Name: ' || coalesce(p_name, '') || chr(10) ||
+       'SKU: ' || coalesce(CAST(p_partkey AS VARCHAR), '') || chr(10) ||
+       'Category: ' || coalesce(p_type, '') || chr(10) ||
+       'Units: ' || coalesce(p_brand, '') || chr(10) ||
+       'Price: ' || coalesce(CAST(CAST(round(p_retailprice, 2) AS DECIMAL(18,2)) AS VARCHAR), '') || chr(10) ||
+       'Amount: ' || coalesce(CAST(p_size AS VARCHAR), '') || chr(10) ||
+       'Description: ' || coalesce(p_name, '') AS prompt
+FROM part
+"""
+
+
+def replace_children_q(spark: SparkSession, sf: str) -> DataFrame:
+    """P4 replace_product_images semantics (product.rs:18-45): delete all
+    children of the target parents, insert the fresh batch — one anti-join
+    + union, shuffling on the parent key only."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    parents = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("pk")
+    )
+    survivors = li.join(parents, li.l_orderkey == parents.pk, "left_anti").select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty")
+    )
+    fresh = parents.select(
+        F.col("pk").alias("l_orderkey"),
+        F.lit(0).alias("l_linenumber"),
+        F.lit(1.0).alias("qty"),
+    )
+    return survivors.unionByName(fresh)
+
+
+SQL_REPLACE_CHILDREN = """
+SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0)
+UNION ALL
+SELECT o_orderkey AS l_orderkey, 0 AS l_linenumber, 1.0 AS qty
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+def clear_categories_q(spark: SparkSession, sf: str) -> DataFrame:
+    """P13 clear_product_categories_by_crawler with the manual guard
+    (category.rs:81-105), run through the real store operator: nation 5
+    stands in for the crawler, BUILDING rows are 'manual'."""
+    from .store.ops import clear_categories_guarded
+
+    c = load(spark, sf, "customer")
+    r = c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("crawler_id"),
+        F.col("c_mktsegment").alias("category_id"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit("manual"))
+        .otherwise(F.lit("automatic")).alias("category_assignment_source"),
+    )
+    out = clear_categories_guarded(r, crawler_id=5)
+    return out.select(
+        "c_custkey",
+        F.col("category_id").alias("category_out"),
+        F.col("category_assignment_source").alias("source_out"),
+    )
+
+
+SQL_CLEAR_CATEGORIES = """
+SELECT c_custkey,
+       CASE WHEN c_nationkey = 5 AND c_mktsegment != 'BUILDING' THEN NULL
+            ELSE c_mktsegment END AS category_out,
+       CASE WHEN c_nationkey = 5 AND c_mktsegment != 'BUILDING' THEN NULL
+            WHEN c_mktsegment = 'BUILDING' THEN 'manual'
+            ELSE 'automatic' END AS source_out
+FROM customer
+"""
+
+
+def assoc_replace(spark: SparkSession, sf: str) -> DataFrame:
+    """P11 benchmark-association replacement (benchmark.rs:49-83,107-110):
+    remove_benchmark_associations for benchmark 7, then insert its fresh
+    top-10 — everyone else's rows pass through untouched."""
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("benchmark_id"),
+        F.col("l_partkey").alias("product_key"),
+        F.round("l_discount", 2).alias("distance"),
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+    )
+    keep = li.filter(F.col("benchmark_id") != 7)
+    w = Window.orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    fresh = (
+        li.filter(F.col("benchmark_id") == 7)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+    cols = ["benchmark_id", "product_key", "distance"]
+    return keep.select(*cols).unionByName(fresh.select(*cols))
+
+
+SQL_ASSOC_REPLACE = """
+SELECT l_suppkey AS benchmark_id, l_partkey AS product_key,
+       round(l_discount, 2) AS distance
+FROM lineitem WHERE l_suppkey != 7
+UNION ALL
+SELECT benchmark_id, product_key, distance FROM (
+  SELECT l_suppkey AS benchmark_id, l_partkey AS product_key,
+         round(l_discount, 2) AS distance,
+         row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                            l_linenumber ASC) AS rnk
+  FROM lineitem WHERE l_suppkey = 7)
+WHERE rnk <= 10
+"""
+
+
+def append_commit_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """P2 create_products atomic batch append (product.rs:91-114) through
+    the REAL snapshot store: base commit, batch append commit, read the
+    resulting snapshot back — per-group row conservation is the check."""
+    import tempfile
+
+    from .store.snapshots import SnapshotStore
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="p2-gate-"))
+    tbl = store.table("orders_gate", o.schema)
+    tbl.commit(o)
+    batch = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_orderkey") + 3000000).alias("o_orderkey"), "o_orderpriority"
+    )
+    tbl.append(spark, batch)
+    return tbl.read(spark).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+SQL_APPEND_COMMIT = """
+WITH unioned AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_orderpriority FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderpriority, count(*) AS n_rows FROM unioned GROUP BY o_orderpriority
+"""
+
+
+def validation_split(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 build_new_product validation (mod.rs:50-170) through the real
+    validate_products operator: dirty rows synthesized from customer,
+    output = one row per input with its reject reason ('ok' if kept) and
+    the normalized units/amount on the kept side."""
+    c = load(spark, sf, "customer")
+    raw = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("")).otherwise(F.col("c_name")).alias("sku"),
+        F.when(F.col("c_custkey") % 89 == 0, F.lit("  ")).otherwise(F.col("c_name")).alias("name"),
+        F.concat(F.lit("u-"), F.col("c_custkey").cast("string")).alias("url"),
+        F.round(F.col("c_acctbal"), 2).alias("price"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(0.0))
+        .otherwise((F.col("c_custkey") % 5).cast("double") + 0.5).alias("amount"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(" ")).otherwise(F.lit("kg")).alias("units"),
+        F.lit("cat").alias("category"),
+        F.lit(None).cast("string").alias("description"),
+    )
+    valid, rejects = validate_products(raw)
+    v = valid.select("c_custkey", F.lit("ok").alias("status"), "units", "amount")
+    r = rejects.select(
+        "c_custkey", F.col("reject_reason").alias("status"), "units", "amount"
+    )
+    return v.unionByName(r)
+
+
+SQL_VALIDATION_SPLIT = """
+WITH raw AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 97 = 0 THEN '' ELSE c_name END AS sku,
+         CASE WHEN c_custkey % 89 = 0 THEN '  ' ELSE c_name END AS name,
+         round(c_acctbal, 2) AS price,
+         CASE WHEN c_custkey % 11 = 0 THEN 0.0
+              ELSE CAST(c_custkey % 5 AS DOUBLE) + 0.5 END AS amount,
+         CASE WHEN c_custkey % 7 = 0 THEN ' ' ELSE 'kg' END AS units
+  FROM customer
+), tagged AS (
+  SELECT *,
+         CASE WHEN trim(sku) = '' THEN 'invalid_sku'
+              WHEN trim(name) = '' THEN 'invalid_name'
+              WHEN price < 0 THEN 'invalid_price' END AS rr
+  FROM raw
+)
+SELECT c_custkey,
+       coalesce(rr, 'ok') AS status,
+       CASE WHEN rr IS NULL
+            THEN (CASE WHEN trim(units) = '' THEN NULL ELSE trim(units) END)
+            ELSE units END AS units,
+       CASE WHEN rr IS NULL THEN (CASE WHEN amount > 0 THEN amount END)
+            ELSE amount END AS amount
+FROM tagged
+"""
+
+
 # =====================================================================
 # Training-data pipeline: dedup / similarity / text analysis
 # =====================================================================
@@ -640,7 +855,10 @@ SQL_FINGERPRINT = f"SELECT doc_id, {X.fingerprint_sql('text')} AS fingerprint FR
 
 def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (scale path of
-    ann_topk_cosine). Not SQL-expressible (seeded numpy hyperplanes)."""
+    ann_topk_cosine). Fully SQL-twinned: the seeded hyperplanes are
+    embedded as literals in the oracle, which recomputes the query
+    signature, the Hamming<=1 multiprobe candidate set, and the scored
+    top-k — the approximation itself is verified, not just row counts."""
     emb = load(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     return S.ann_lsh_topk(
@@ -648,19 +866,57 @@ def ann_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_lsh_sql(k: int = 10, n_planes: int = 6, seed: int = 7,
+                 dim: int = 64, multiprobe: int = 1) -> str:
+    from .operators.dedup import plane_sig_sql
+
+    planes = S.hyperplanes(dim, n_planes, seed)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {plane_sig_sql(planes, 'qv')} AS qs FROM q),
+bkt AS (
+  SELECT vec_id, embedding, {plane_sig_sql(planes, 'embedding')} AS sig
+  FROM embeddings WHERE vec_id != 0
+), cand AS (
+  SELECT b.vec_id, b.embedding
+  FROM bkt b, qsig
+  WHERE bit_count(CAST(xor(CAST(b.sig AS BIGINT), CAST(qsig.qs AS BIGINT)) AS BIGINT)) <= {multiprobe}
+), scored AS (
+  SELECT c.vec_id,
+         round(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 4) AS cosine
+  FROM cand c, q, UNNEST(generate_series(1, len(c.embedding))) AS t(i)
+  GROUP BY c.vec_id
+)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def ann_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-bucketed ANN (kmeans centroids on a sample, n_probe buckets
-    scored). Not SQL-expressible (trained centroids)."""
+    """IVF ANN with full probing (n_probe == n_centroids): exercises the
+    whole IVF pipeline — deterministic sample, k-means training, the
+    vectorized centroid-assignment UDF, bucket filter, scoring — and is
+    provably equal to the exact top-k (partition completeness), so the
+    exact-top-k SQL is its oracle. The recall bound for PARTIAL probing
+    (n_probe=3) is asserted in tests/test_similarity.py."""
     emb = load(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     return S.ann_ivf_topk(
-        emb.filter(F.col("vec_id") != 0), list(qrow[0]), k=10
+        emb.filter(F.col("vec_id") != 0), list(qrow[0]), k=10,
+        n_centroids=16, n_probe=16,
     )
 
 
 def embed_fill_q(spark: SparkSession, sf: str) -> DataFrame:
-    """E3 memoized embedding fill over documents (deterministic hash
-    embedder UDF); returns id + first components + norm for stability."""
+    """E3 memoized embedding fill over documents via the deterministic
+    hash embedder (embedding.rs:41-65 pattern). The oracle twin recomputes
+    the embedder EXACTLY in SQL: md5-LE-uint64 token digests, signed
+    bucket counts, L2 norm, float32 quantization — so comp0 matches to
+    the last bit (bucket sums are exact integers in double; IEEE sqrt and
+    the REAL cast are deterministic on both engines)."""
     d = load(spark, sf, "documents").select(
         "doc_id", F.col("text").alias("prompt"),
         F.lit(None).cast("array<float>").alias("embedding"),
@@ -668,15 +924,54 @@ def embed_fill_q(spark: SparkSession, sf: str) -> DataFrame:
     filled = S.fill_missing_embeddings(d)
     return filled.select(
         "doc_id",
+        F.round(F.col("embedding")[0].cast("double"), 4).alias("comp0"),
         F.round(dot_col(F.col("embedding"), F.col("embedding")), 2).alias("norm_sq"),
     )
 
 
+# md5 digest[:8] interpreted little-endian (numpy native) as uint64
+_MD5_LE64 = ("('0x' || substr(md5(tok),15,2) || substr(md5(tok),13,2) || "
+             "substr(md5(tok),11,2) || substr(md5(tok),9,2) || "
+             "substr(md5(tok),7,2) || substr(md5(tok),5,2) || "
+             "substr(md5(tok),3,2) || substr(md5(tok),1,2))")
+
+SQL_EMBED_FILL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, CAST({_MD5_LE64} AS UBIGINT) AS dg FROM toks
+), sb AS (
+  SELECT doc_id, CAST(dg % 64 AS INTEGER) AS bucket,
+         SUM(CASE WHEN (dg >> 32) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+  FROM tb GROUP BY doc_id, bucket
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(s * s)) AS nn FROM sb GROUP BY doc_id
+), comps AS (
+  SELECT sb.doc_id, sb.bucket,
+         CAST(CASE WHEN nrm.nn > 0 THEN sb.s / nrm.nn ELSE 0.0 END AS REAL) AS comp
+  FROM sb JOIN nrm ON sb.doc_id = nrm.doc_id
+), agg AS (
+  SELECT doc_id,
+         round(SUM(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE)), 2) AS norm_sq
+  FROM comps GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(CAST(COALESCE(c0.comp, CAST(0.0 AS REAL)) AS DOUBLE), 4) AS comp0,
+       COALESCE(a.norm_sq, 0.0) AS norm_sq
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id, comp FROM comps WHERE bucket = 0) c0 ON c0.doc_id = d.doc_id
+"""
+
+
 def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
     """Image decode + feature extraction over an opaque binary column
-    (input_hint payload shape). Images are synthesized deterministically
-    (the sf dirs carry no binary media); the decode/feature path is the
-    engine's production mapInPandas."""
+    (input_hint payload shape) with a PNG / LJQ1-lossy format mix —
+    every third image goes through the lossy DCT-quantized codec. The
+    oracle is a literal table precomputed by the pure-Python codec twin
+    (same numpy ops, bit-identical features), so the driver gate checks
+    the decoded values, not just row counts."""
     import pandas as pd
 
     from .operators.multimodal import extract_image_features
@@ -684,25 +979,54 @@ def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            ids = pdf["id"].tolist()
-            yield pd.DataFrame({
-                "image_id": [f"img-q-{i:05d}" for i in ids],
-                "bytes": [make_image_bytes(13, f"img-q-{i:05d}", (32,)) for i in ids],
-                "fmt": ["png"] * len(ids),
-            })
+            rows = {"image_id": [], "bytes": [], "fmt": []}
+            for i in pdf["id"].tolist():
+                image_id = f"img-q-{i:05d}"
+                fmt = "jpg" if i % 3 == 0 else "png"
+                rows["image_id"].append(image_id)
+                rows["bytes"].append(make_image_bytes(13, image_id, (32,), fmt=fmt))
+                rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
 
     imgs = spark.range(256).repartition(8).mapInPandas(
         gen, "image_id string, bytes binary, fmt string"
     )
     return extract_image_features(imgs).select(
-        "image_id", "w", "h", "phash", F.round("mean_luma", 4).alias("mean_luma")
+        "image_id", "w", "h", "fmt", "phash",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    )
+
+
+def _multimodal_oracle_sql() -> str:
+    """Literal-table oracle for multimodal_features: the pure-Python twin
+    of the decode/feature path (same codecs, same batched-DCT phash)."""
+    from .operators.multimodal import decode_image
+    from .synth.phash import gray32, phash64_batch
+    from .synth.worldgen import make_image_bytes
+
+    vals = []
+    for i in range(256):
+        image_id = f"img-q-{i:05d}"
+        fmt = "jpg" if i % 3 == 0 else "png"
+        px = decode_image(make_image_bytes(13, image_id, (32,), fmt=fmt), fmt)
+        g = gray32(px)
+        ph = int(phash64_batch(g[None])[0])
+        vals.append(
+            f"('{image_id}', {px.shape[1]}, {px.shape[0]}, '{fmt}', "
+            f"CAST({ph} AS BIGINT), round(CAST({float(g.mean()):.17g} AS DOUBLE), 4))"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals)
+        + ") AS t(image_id, w, h, fmt, phash, mean_luma)"
     )
 
 
 def category_top1_q(spark: SparkSession, sf: str) -> DataFrame:
     """E7 top-1 category assignment: label-centroid vectors as the
     category matrix, argmax per embedding row (threshold dropped to keep
-    rows at every sf)."""
+    rows at every sf). SQL-twinned: centroids, dot products, argmax and
+    the tie-break are all expressible; components are rounded at 6/4dp so
+    partial-agg summation-order drift (~1e-15) cannot flip a value."""
     emb = load(spark, sf, "embeddings")
     cats = (
         emb.groupBy("label")
@@ -713,6 +1037,27 @@ def category_top1_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     prods = emb.select(F.concat(F.lit("v-"), F.col("vec_id")).alias("url"), "embedding")
     return S.category_top1_assignment(prods, cats, threshold=0.0)
+
+
+SQL_CATEGORY_TOP1 = """
+WITH cent AS (
+  SELECT CAST(label AS INTEGER) AS category_id, i,
+         round(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c
+  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT 'v-' || CAST(e.vec_id AS VARCHAR) AS url, cent.category_id,
+         round(SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.c), 4) AS sim
+  FROM embeddings e CROSS JOIN cent
+  GROUP BY 1, 2
+)
+SELECT url, category_id, sim FROM (
+  SELECT url, category_id, sim,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY sim DESC, category_id ASC) AS rn
+  FROM scored)
+WHERE rn = 1 AND sim >= 0.0
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -741,6 +1086,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "amount_units_parse": amount_units_parse,
     "variant_explode": variant_explode,
     "run_state_guard": run_state_guard,
+    "prompt_template": prompt_template,
+    "replace_children": replace_children_q,
+    "clear_categories": clear_categories_q,
+    "assoc_replace": assoc_replace,
+    "append_commit": append_commit_counts,
+    "validation_split": validation_split,
     # training-data pipeline
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -785,6 +1136,16 @@ ORACLE: dict[str, str] = {
     "amount_units_parse": SQL_AMOUNT_UNITS,
     "variant_explode": SQL_VARIANT,
     "run_state_guard": SQL_RUN_STATE,
+    "prompt_template": SQL_PROMPT,
+    "replace_children": SQL_REPLACE_CHILDREN,
+    "clear_categories": SQL_CLEAR_CATEGORIES,
+    "assoc_replace": SQL_ASSOC_REPLACE,
+    "append_commit": SQL_APPEND_COMMIT,
+    "validation_split": SQL_VALIDATION_SPLIT,
+    "embed_fill": SQL_EMBED_FILL,
+    "category_top1": SQL_CATEGORY_TOP1,
+    "ann_lsh_topk": _ann_lsh_sql(),
+    "ann_ivf_topk": SQL_ANN_TOPK,
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_minhash_lsh": D.lsh_candidate_pairs_sql(),
     "dedup_simhash": D.simhash_sql(),
@@ -797,3 +1158,84 @@ ORACLE: dict[str, str] = {
     "text_token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
 }
+
+# Oracles that are expensive to synthesize (literal tables precomputed by
+# pure-Python twins) are built on demand; full_oracle() returns the
+# complete driver-gate mapping.
+_LAZY_ORACLE: dict[str, Callable[[], str]] = {
+    "multimodal_features": _multimodal_oracle_sql,
+}
+
+
+def full_oracle() -> dict[str, str]:
+    out = dict(ORACLE)
+    for name, build in _LAZY_ORACLE.items():
+        out[name] = build()
+    return out
+
+
+def benchmark_association_q(spark: SparkSession, sf: str) -> DataFrame:
+    """E6 benchmark association shape over documents: hash-embed every
+    doc (E3), broadcast doc-0's vector as the benchmark (E4), top-10 per
+    source with the threshold filter (E5/E6). The SQL twin recomputes the
+    embedder in bucket-sparse form and the dot products via a bucket
+    join — the full association pipeline is value-checked."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source", F.col("text").alias("prompt"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    filled = S.fill_missing_embeddings(d)
+    qrow = filled.filter(F.col("doc_id") == 0).select("embedding").first()
+    prods = filled.filter(F.col("doc_id") != 0).select(
+        F.col("source").alias("crawler_id"),
+        F.col("doc_id").alias("url"),
+        "embedding",
+    )
+    out = S.benchmark_topk_association(
+        prods, [float(x) for x in qrow[0]], k=10, threshold=0.0
+    )
+    return out.select(
+        F.col("crawler_id").alias("source"), F.col("url").alias("doc_id"),
+        "sim", "rank",
+    )
+
+
+SQL_BENCH_ASSOC = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, CAST({_MD5_LE64} AS UBIGINT) AS dg FROM toks
+), sb AS (
+  SELECT doc_id, CAST(dg % 64 AS INTEGER) AS bucket,
+         SUM(CASE WHEN (dg >> 32) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+  FROM tb GROUP BY doc_id, bucket
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(s * s)) AS nn FROM sb GROUP BY doc_id
+), comps AS (
+  SELECT sb.doc_id, sb.bucket,
+         CAST(CASE WHEN nrm.nn > 0 THEN sb.s / nrm.nn ELSE 0.0 END AS REAL) AS comp
+  FROM sb JOIN nrm ON sb.doc_id = nrm.doc_id
+), qc AS (
+  SELECT bucket, comp FROM comps WHERE doc_id = 0
+), dots AS (
+  SELECT c.doc_id,
+         round(SUM(CAST(c.comp AS DOUBLE) * CAST(q.comp AS DOUBLE)), 4) AS sim
+  FROM comps c JOIN qc q ON c.bucket = q.bucket
+  WHERE c.doc_id != 0
+  GROUP BY c.doc_id
+), scored AS (
+  SELECT d.source, d.doc_id, COALESCE(t.sim, 0.0) AS sim
+  FROM documents d LEFT JOIN dots t ON t.doc_id = d.doc_id
+  WHERE d.doc_id != 0
+)
+SELECT source, doc_id, sim, rank FROM (
+  SELECT source, doc_id, sim,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 10 AND sim >= 0.0
+"""
+
+QUERIES["benchmark_association"] = benchmark_association_q
+ORACLE["benchmark_association"] = SQL_BENCH_ASSOC

@@ -129,6 +129,33 @@ LINEAGE = T.StructType(
     ]
 )
 
+# --- benchmark association tail (E6 / P11 / P9) ---------------------------
+BENCHMARKS = T.StructType(
+    [
+        T.StructField("benchmark_id", T.IntegerType(), False),
+        T.StructField("prompt", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+ASSOCIATIONS = T.StructType(
+    [
+        T.StructField("benchmark_id", T.IntegerType(), False),
+        T.StructField("crawler_id", T.IntegerType(), False),
+        T.StructField("product_url", T.StringType(), False),
+        T.StructField("sim", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+BENCHMARK_STATS = T.StructType(
+    [
+        T.StructField("benchmark_id", T.IntegerType(), False),
+        T.StructField("crawler_id", T.IntegerType(), False),
+        T.StructField("num_products", T.LongType(), False),
+    ]
+)
+
 RUNS = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),

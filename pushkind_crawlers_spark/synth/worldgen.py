@@ -33,6 +33,7 @@ from typing import Optional
 
 import numpy as np
 
+from .lossy import encode_lossy
 from .png import encode_png
 
 # per-site page-query-param names, cycled across hosts (SPEC.md:147-196)
@@ -231,9 +232,23 @@ class SyntheticWorld:
             pids = self._listing_pids(host, c, p)
             links = [self.product_url(host, pid) for pid in pids]
             kind = "category" if p == 1 else "listing"
+            images = []
+            if kind == "category" and self.cfg.images_per_product[1] > 0:
+                # ~half the category pages carry a banner image — the
+                # non-leaf imagery that makes parent-scoped phash novelty
+                # observable (product pages are leaves: their images can
+                # never influence the priority of their own outlinks)
+                rb = _rng(self.cfg, "banner", host, c)
+                if float(rb.random()) < 0.5:
+                    bid = f"img-{host}-cat{c:04d}-banner"
+                    images.append({
+                        "image_id": bid,
+                        "bytes": make_image_bytes(self.cfg.seed, bid, self.cfg.image_sizes),
+                        "caption": f"Category {c} banner / {host}",
+                    })
             return PageDoc(
                 url=url, host=host, kind=kind, depth=1 if p == 1 else 2,
-                out_links=links, last_page=last,
+                out_links=links, last_page=last, images=images,
             )
         if parts[0] == "p" and len(parts) == 2:
             pid = int(parts[1])
@@ -344,5 +359,19 @@ def make_image_pixels(seed: int, image_id: str, sizes: tuple[int, ...]) -> np.nd
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
-def make_image_bytes(seed: int, image_id: str, sizes: tuple[int, ...]) -> bytes:
-    return encode_png(make_image_pixels(seed, image_id, sizes))
+def image_fmt(seed: int, image_id: str) -> str:
+    """Deterministic format mix: ~1/3 of images are lossy ('jpg' — the
+    LJQ1 DCT-quantized stand-in codec), the rest lossless PNG. A 100 TB
+    web image corpus is mostly lossy, so the engine's decode path and the
+    PSNR>=40dB parity invariant (input_hint) are exercised by default."""
+    r = _rng(WorldConfig(seed=seed), "imgfmt", image_id)
+    return "jpg" if float(r.random()) < (1.0 / 3.0) else "png"
+
+
+def make_image_bytes(seed: int, image_id: str, sizes: tuple[int, ...],
+                     fmt: str | None = None) -> bytes:
+    """Encoded payload for an image_id; fmt=None picks the deterministic
+    world mix (see :func:`image_fmt`)."""
+    px = make_image_pixels(seed, image_id, sizes)
+    f = fmt or image_fmt(seed, image_id)
+    return encode_lossy(px) if f in ("jpg", "jpeg") else encode_png(px)

@@ -1,0 +1,138 @@
+"""E6 composed benchmark-association job: store roundtrip + memoization +
+lock semantics (mirrors test_crawl_parity's structure for the analytics
+tail; reference flow /root/reference/src/processing/benchmark.rs:112-192)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pushkind_crawlers_spark import schemas
+from pushkind_crawlers_spark.operators.similarity import hash_embed_udf
+from pushkind_crawlers_spark.plans.benchmark import run_benchmark_association
+from pushkind_crawlers_spark.store.ops import RunLock, RunLockError
+from pushkind_crawlers_spark.store.snapshots import SnapshotStore
+
+BENCH_PROMPT_FIELDS = dict(
+    name="эталонный чай", sku="BM-1", category="Чай / Зелёный",
+    units="кг", price=100.0, amount=1.0, description="benchmark row",
+)
+
+
+def _results_rows():
+    """40 products over 2 crawlers; two per crawler share the benchmark's
+    exact prompt fields (sim == 1.0 — passes the 0.8 bar), the rest get
+    distinct field soup (hash-embed sims near 0)."""
+    rows = []
+    for i in range(40):
+        cid = i % 2
+        if i in (0, 1, 2, 3):
+            f = BENCH_PROMPT_FIELDS
+        else:
+            f = dict(name=f"товар {i}", sku=f"S-{i}", category=f"cat {i % 5}",
+                     units="шт", price=float(10 + i), amount=2.0,
+                     description=f"описание {i} " * 3)
+        rows.append((
+            cid, i, f"http://s{cid}.test/p/{i:06d}", f"s{cid}.test",
+            f["sku"], f["name"], f["price"], f["category"], f["units"],
+            f["amount"], f["description"], [], None, f"{i:04x}", 1,
+            None, None, None,
+        ))
+    return rows
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "bstore"))
+    t = st.table("results", schemas.RESULTS)
+    t.commit(spark.createDataFrame(_results_rows(), schemas.RESULTS))
+    return st
+
+
+def _bench_prompt():
+    f = BENCH_PROMPT_FIELDS
+    return (f"Name: {f['name']}\nSKU: {f['sku']}\nCategory: {f['category']}\n"
+            f"Units: {f['units']}\nPrice: {f['price']}\nAmount: {f['amount']}\n"
+            f"Description: {f['description']}")
+
+
+def test_benchmark_job_roundtrip_and_memoization(spark, store):
+    out1 = run_benchmark_association(spark, store, 7, _bench_prompt(), k=10)
+    assert out1["embedded"] == 40           # first run embeds every product
+    assert out1["bench_embedded"] is True
+
+    assoc = store.table("associations").read(spark).collect()
+    assert len(assoc) == out1["associations"] > 0
+    per_crawler: dict[int, list] = {}
+    for r in assoc:
+        assert r["benchmark_id"] == 7
+        assert r["sim"] >= 0.8              # E5 threshold enforced
+        per_crawler.setdefault(r["crawler_id"], []).append(r)
+    for cid, rows in per_crawler.items():
+        assert len(rows) <= 10              # E6 k bound
+        # the planted exact-prompt products (sim 1.0) must be present
+        planted = {u for u in (f"http://s{cid}.test/p/{i:06d}"
+                               for i in range(4) if i % 2 == cid)}
+        got = {r["product_url"] for r in rows if r["sim"] == 1.0}
+        assert planted <= got
+
+    # P6 persistence: embeddings written back; rerun embeds nothing
+    prods = store.table("results").read(spark).collect()
+    assert all(r["embedding"] is not None for r in prods)
+    out2 = run_benchmark_association(spark, store, 7, _bench_prompt(), k=10)
+    assert out2["embedded"] == 0            # E3 memoization
+    assert out2["bench_embedded"] is False  # benchmark vector memoized too
+    assert out2["associations"] == out1["associations"]
+
+    # P9 stats
+    stats = {r["crawler_id"]: r["num_products"]
+             for r in store.table("benchmark_stats").read(spark).collect()}
+    assert stats == {cid: len(rows) for cid, rows in per_crawler.items()}
+
+
+def test_benchmark_job_matches_numpy_twin(spark, store):
+    run_benchmark_association(spark, store, 7, _bench_prompt(), k=10, threshold=0.0)
+    prods = store.table("results").read(spark).collect()
+    embed = hash_embed_udf()  # noqa: F841  (UDF parity is embed_fill's gate)
+    bvec = None
+    for r in store.table("benchmarks").read(spark).collect():
+        if r["benchmark_id"] == 7:
+            bvec = np.asarray(r["embedding"], dtype=np.float64)
+    assert bvec is not None
+    # python twin of the top-k per crawler; the dot is a sequential
+    # left-fold exactly like Spark's F.aggregate (BLAS pairwise summation
+    # can differ in the last ulp, which flips 4dp rounding at boundaries)
+    want: dict[int, list] = {}
+    for r in prods:
+        acc = 0.0
+        for xv, yv in zip(r["embedding"], bvec):
+            acc += float(xv) * float(yv)
+        sim = round(acc, 4)
+        want.setdefault(r["crawler_id"], []).append((-sim, r["url"]))
+    assoc = store.table("associations").read(spark).collect()
+    got = {}
+    for r in assoc:
+        got.setdefault(r["crawler_id"], set()).add(r["product_url"])
+    for cid, pairs in want.items():
+        pairs.sort()
+        # the job filters sim >= threshold (0.0 here) after the k-cut
+        assert got[cid] == {u for s, u in pairs[:10] if -s >= 0.0}
+
+
+def test_benchmark_job_respects_busy_flag(spark, store):
+    lock = RunLock(store, scope="benchmark-7")
+    lock.claim()
+    try:
+        with pytest.raises(RunLockError):
+            run_benchmark_association(spark, store, 7, _bench_prompt())
+    finally:
+        lock.release()
+    # released-on-failure semantics: a crashing job frees the flag
+    class Boom(RuntimeError):
+        pass
+    try:
+        with RunLock(store, scope="benchmark-7"):
+            raise Boom()
+    except Boom:
+        pass
+    assert not RunLock(store, scope="benchmark-7").is_locked()

@@ -14,11 +14,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pushkind_crawlers_spark.operators.multimodal import decode_image, sniff_format
 from pushkind_crawlers_spark.oracle import OracleCrawler
 from pushkind_crawlers_spark.plans.crawl import CrawlEngine
-from pushkind_crawlers_spark.synth.png import decode_png
+from pushkind_crawlers_spark.synth.png import psnr
 from pushkind_crawlers_spark.synth.phash import phash64
-from pushkind_crawlers_spark.synth.worldgen import make_image_pixels
+from pushkind_crawlers_spark.synth.worldgen import image_fmt, make_image_pixels
 
 
 @pytest.fixture(scope="module")
@@ -76,8 +77,10 @@ def test_rejects_parity(spark, crawl_pair):
 
 
 def test_image_payload_parity(spark, crawl_pair, small_world):
-    """input_hint invariant: decoded-pixel equality (PNG is lossless, so
-    allclose degenerates to exact) + caption byte-equality + phash."""
+    """input_hint invariant, per format: PNG decodes pixel-exact; lossy
+    ('jpg' / LJQ1) decodes within PSNR>=40dB of the generator's source
+    pixels AND bit-identically to the deterministic codec twin. Caption
+    byte-equality and phash-of-decoded-pixels hold for both."""
     oracle, engine, _ = crawl_pair
     rows = engine.store.table("images").read(spark).collect()
     by_id = {r["image_id"]: r for r in rows}
@@ -85,15 +88,23 @@ def test_image_payload_parity(spark, crawl_pair, small_world):
     assert set(by_id) == set(want)
     seed = small_world.cfg.seed
     sizes = small_world.cfg.image_sizes
-    for image_id, o in list(want.items())[:40]:
+    fmts_seen = set()
+    for image_id, o in list(want.items())[:60]:
         g = by_id[image_id]
         assert g["caption"].encode() == o["caption"].encode()
-        expected_px = make_image_pixels(seed, image_id, sizes)
-        got_px = decode_png(bytes(g["bytes"]))
-        assert np.array_equal(got_px, expected_px)
-        assert g["w"] == expected_px.shape[1] and g["h"] == expected_px.shape[0]
-        assert g["phash"] == phash64(expected_px)
-        assert g["fmt"] == "png"
+        source_px = make_image_pixels(seed, image_id, sizes)
+        fmt = sniff_format(bytes(g["bytes"]))
+        assert fmt == image_fmt(seed, image_id)
+        assert g["fmt"] == fmt
+        fmts_seen.add(fmt)
+        decoded_px = decode_image(bytes(g["bytes"]), fmt)
+        if fmt == "png":
+            assert np.array_equal(decoded_px, source_px)
+        else:
+            assert psnr(decoded_px, source_px) >= 40.0, image_id
+        assert g["w"] == source_px.shape[1] and g["h"] == source_px.shape[0]
+        assert g["phash"] == phash64(decoded_px)
+    assert fmts_seen == {"png", "jpg"}, f"format mix not exercised: {fmts_seen}"
 
 
 def test_lineage_parity(spark, crawl_pair):

@@ -15,9 +15,9 @@ from pushkind_crawlers_spark.synth.worldgen import make_image_bytes, make_image_
 @pytest.fixture(scope="module")
 def images_df(spark):
     rows = [
-        ("im-0", make_image_bytes(9, "im-0", (32,)), "png"),
-        ("im-1", make_image_bytes(9, "im-1", (48,)), "png"),
-        ("im-2", make_image_bytes(9, "im-2", (32, 48)), "png"),
+        ("im-0", make_image_bytes(9, "im-0", (32,), fmt="png"), "png"),
+        ("im-1", make_image_bytes(9, "im-1", (48,), fmt="png"), "png"),
+        ("im-2", make_image_bytes(9, "im-2", (32, 48), fmt="png"), "png"),
     ]
     return spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
 
@@ -41,9 +41,46 @@ def test_thumbnails_roundtrip(spark, images_df):
         assert px.shape == (16, 16, 3)
 
 
-def test_lossy_decode_is_gated():
+def test_unknown_format_is_gated():
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff", fmt="jpeg")
+        M.decode_image(b"RIFFxxxxWEBP", fmt="webp")
+
+
+def test_lossy_roundtrip_psnr(spark):
+    """North-rule lossy invariant: decode(encode(px)) within PSNR>=40dB
+    of the source pixels, deterministic, via the production decode path."""
+    from pushkind_crawlers_spark.synth.lossy import encode_lossy
+    from pushkind_crawlers_spark.synth.png import psnr
+
+    for i in range(8):
+        px = make_image_pixels(21, f"lossy-{i}", (32, 48, 64))
+        data = encode_lossy(px)
+        assert M.sniff_format(data) == "jpg"
+        back = M.decode_image(data, "jpg")
+        assert back.shape == px.shape
+        assert psnr(back, px) >= 40.0
+        assert np.array_equal(back, M.decode_image(data, "jpg"))  # deterministic
+
+
+def test_image_features_mixed_formats(spark):
+    """The feature UDF handles a PNG/lossy mix in one Arrow batch; lossy
+    phash is computed on the decoded (quantized) pixels."""
+    from pushkind_crawlers_spark.synth.lossy import decode_lossy
+    from pushkind_crawlers_spark.synth.phash import gray32, phash64_batch
+
+    rows = []
+    for i in range(6):
+        fmt = "jpg" if i % 2 == 0 else "png"
+        rows.append((f"mx-{i}", make_image_bytes(5, f"mx-{i}", (32,), fmt=fmt), fmt))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r for r in M.extract_image_features(df).collect()}
+    assert len(got) == 6
+    for i in range(6):
+        r = got[f"mx-{i}"]
+        fmt = "jpg" if i % 2 == 0 else "png"
+        data = make_image_bytes(5, f"mx-{i}", (32,), fmt=fmt)
+        px = decode_lossy(data) if fmt == "jpg" else make_image_pixels(5, f"mx-{i}", (32,))
+        assert r["phash"] == int(phash64_batch(gray32(px)[None])[0])
 
 
 def test_resize_nn_exact_downscale():

@@ -58,6 +58,18 @@ def test_neardup_blocked_join_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_pair_generation_uses_lsh_buckets(spark):
+    """Candidate pairs must come from the LSH bucket structure, never a
+    coarse natural-key block (one big block is all-pairs at web scale —
+    VERDICT r01 #3): the old blocking columns must not even be scanned."""
+    for name, blocked_col in (("ngram_jaccard", "source"),
+                              ("embedding_neardup", "label")):
+        plan = _formatted(spark, name)
+        reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert reads, name
+        assert all(blocked_col not in ln for ln in reads), (name, reads)
+
+
 def test_ann_brute_force_stays_jvm(spark):
     """The dot product is codegen'd JVM expressions — no Python UDF in the
     exact top-k path (UDFs only in the LSH bucket variant)."""

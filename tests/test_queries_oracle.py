@@ -9,7 +9,9 @@ import math
 import duckdb
 import pytest
 
-from pushkind_crawlers_spark.queries import ORACLE, QUERIES, TABLES
+from pushkind_crawlers_spark.queries import QUERIES, TABLES, full_oracle
+
+ORACLE = full_oracle()
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -46,8 +46,11 @@ def test_ngram_jaccard_scores(docs):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
            for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
     assert got[(0, 1)] > 0.5     # near-dup: most 3-grams shared
-    # cross-source pairs are never compared (blocking)
-    assert (0, 3) not in got
+    # LSH candidates are content-blocked, not source-blocked: the exact
+    # cross-source dup IS found (the r01 natural-key blocking missed it)
+    assert got[(0, 3)] == 1.0
+    # dissimilar docs never become candidates
+    assert (0, 4) not in got and (2, 4) not in got
 
 
 def test_embedder_deterministic_and_normalized(spark, docs):
