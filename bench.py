@@ -433,12 +433,16 @@ def scaling() -> None:
         f"  top-b, 8 salts/host) + staged batch + `mapInPandas` fetch of a",
         f"  {FETCH_K:,}-URL product frontier with one 32px PNG payload per page —",
         "  the exact shape of an engine round's schedule+fetch.",
-        "- **dedup**: `filter_new_urls` — broadcast-Bloom fast path, cuckoo-bucket",
-        f"  confirm, exact URL equality — {DEDUP_CAND:,} candidates vs a",
-        f"  {DEDUP_SEEN:,}-row seen table (incl. distributed Bloom build).",
-        "  **dedup_anti** is the same semantics with a JVM anti-join confirm",
-        "  (the single-node-optimal path; the cuckoo cogroup's value is bucket",
-        "  caching across rounds, which needs a real cluster). Dedup is",
+        "- **dedup_anti**: `filter_new_urls` with its DEFAULT confirm — broadcast-",
+        "  Bloom fast path + plain JVM anti-join of the maybe-seen residue —",
+        f"  {DEDUP_CAND:,} candidates vs a {DEDUP_SEEN:,}-row seen table (incl.",
+        "  distributed Bloom build). **dedup** is the cuckoo-bucket cogroup",
+        "  confirm, the explicitly CLUSTER-ONLY option (`confirm=\"cuckoo\"`):",
+        "  its value is per-executor bucket-filter caching across rounds atop a",
+        "  storage-partitioned seen table, which a single-JVM sandbox cannot",
+        "  express — locally the cogroup's Arrow conversion of the seen side is",
+        "  rebuilt every round and is pure overhead, which is WHY anti is the",
+        "  default (seen.py docstring documents the switch). Dedup is",
         "  shuffle/bandwidth-bound — this VM oversubscribes memory bandwidth",
         "  harder than compute (pure-JVM anti-join of 48M rows measures the",
         "  same ~0.56 at 2→8), so its efficiency reflects the host, not a",

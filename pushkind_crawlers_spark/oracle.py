@@ -32,6 +32,7 @@ from .functions.parsing import (
     clean_price_py,
     parse_amount_units_py,
     trim_to_none_py,
+    unescape_entities_py,
 )
 from .functions.urlnorm import canonicalize_url
 from .synth.worldgen import SyntheticWorld
@@ -157,10 +158,23 @@ class OracleCrawler:
                         )
                 elif doc.kind == "category":
                     # pagination expansion (F2): pages 2..=last get slot p-1;
-                    # page-1 product links live under slot 0
+                    # page-1 product links live under slot 0. The last page
+                    # is READ from the pagination labels under the per-site
+                    # rule (second-to-last for teanadin-style arrow blocks,
+                    # teanadin.rs:95-99), never taken from ground truth.
                     host = row["host"]
+                    rule = self.world.host_config(host).last_page_rule
+                    labels = doc.page_labels
+                    if rule == "second_last":
+                        lab = labels[-2] if len(labels) >= 2 else None
+                    else:
+                        lab = labels[-1] if labels else None
+                    try:
+                        last_eff = int(lab)
+                    except (TypeError, ValueError):
+                        last_eff = 1
                     c = int(row["url"].split("/cat/")[1].split("?")[0])
-                    for p in range(2, doc.last_page + 1):
+                    for p in range(2, last_eff + 1):
                         candidates.append(
                             {
                                 "url": self.world.listing_url(host, c, p),
@@ -238,8 +252,9 @@ class OracleCrawler:
         }
         if doc.variants_json:
             # variant explosion (rusteaco.rs:29-53): one row per variant,
-            # url suffixed '#{sku}', amount/units parsed from the title
-            for v in json.loads(doc.variants_json):
+            # url suffixed '#{sku}', amount/units parsed from the title;
+            # entity-decode first (S6, rusteaco.rs:275)
+            for v in json.loads(unescape_entities_py(doc.variants_json)):
                 amount, units = parse_amount_units_py(v.get("title"))
                 res.results.append(
                     {

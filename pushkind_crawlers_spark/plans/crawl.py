@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import schemas
-from ..functions.parsing import amount_col, price_col, units_col, validate_products
+from ..functions.parsing import (
+    amount_col,
+    price_col,
+    unescape_entities_col,
+    units_col,
+    validate_products,
+)
 from ..functions.urlnorm import canonicalize_url_udf, host_of
 from ..operators.budget import host_splits, robots_flag, schedule_round
 from ..operators.ordering import global_sequence
@@ -75,7 +81,7 @@ def make_world_fetch_fn(world: SyntheticWorld) -> Callable:
                 base = {
                     "url_hash": url_hash, "url": url, "host": host,
                     "depth": int(depth), "ord": ordv, "ok": False, "kind": None,
-                    "last_page": None, "out_links": None, "sku": None,
+                    "last_page": None, "page_labels": None, "out_links": None, "sku": None,
                     "name": None, "category": None, "units_raw": None,
                     "price_str": None, "amount_str": None, "description": None,
                     "variants_json": None, "images": None,
@@ -84,6 +90,7 @@ def make_world_fetch_fn(world: SyntheticWorld) -> Callable:
                 if doc is not None:
                     base.update(
                         ok=True, kind=doc.kind, last_page=int(doc.last_page),
+                        page_labels=list(doc.page_labels) or None,
                         out_links=list(doc.out_links),
                     )
                     if doc.images:
@@ -208,10 +215,10 @@ class CrawlEngine:
         self._site_dim = F.broadcast(
             spark.createDataFrame(
                 [
-                    (hc.host, hc.idx, hc.page_param)
+                    (hc.host, hc.idx, hc.page_param, hc.last_page_rule)
                     for hc in (world.host_config(h) for h in world.cfg.hosts())
                 ],
-                "host string, crawler_id int, page_param string",
+                "host string, crawler_id int, page_param string, last_page_rule string",
             )
         )
         self._work = os.path.join(store_root, "_work")
@@ -559,8 +566,13 @@ class CrawlEngine:
         exploded = (
             has_var.withColumn(
                 "variant",
+                # S6: entity-decode before parse (rusteaco.rs:275) — the
+                # embedded JSON may arrive HTML-escaped; JVM replace chain
                 F.explode(
-                    F.from_json("variants_json", T.ArrayType(schemas.VARIANT))
+                    F.from_json(
+                        unescape_entities_col(F.col("variants_json")),
+                        T.ArrayType(schemas.VARIANT),
+                    )
                 ),
             )
             .withColumn("sku", F.col("variant.sku"))
@@ -604,14 +616,25 @@ class CrawlEngine:
             .withColumn("child_ord", F.concat("ord", hseg_col(F.col("pos"))))
         )
         cat = ok.filter(F.col("kind") == "category").join(
-            self._site_dim.select("host", "page_param"), "host", "left"
+            self._site_dim.select("host", "page_param", "last_page_rule"), "host", "left"
+        )
+        # last-page read: per-site rule over the raw pagination labels —
+        # teanadin-style blocks end with a next-arrow, so the number is
+        # the SECOND-to-last label (teanadin.rs:95-99 `.rev().nth(1)`);
+        # everyone else reads the last label. Unparseable/absent -> 1.
+        lp_label = F.when(
+            F.col("last_page_rule") == "second_last",
+            F.expr("try_element_at(page_labels, -2)"),
+        ).otherwise(F.expr("try_element_at(page_labels, -1)"))
+        cat = cat.withColumn(
+            "_last_eff", F.coalesce(lp_label.try_cast("int"), F.lit(1))
         )
         # pagination synthesis (F2): strip any existing page param, append new
         page_links = (
-            cat.filter(F.col("last_page") >= 2)
+            cat.filter(F.col("_last_eff") >= 2)
             .select(
-                "url_hash", "ord", "url", "page_param", "last_page",
-                F.explode(F.sequence(F.lit(2), F.col("last_page"))).alias("page_no"),
+                "url_hash", "ord", "url", "page_param", "_last_eff",
+                F.explode(F.sequence(F.lit(2), F.col("_last_eff"))).alias("page_no"),
             )
             .withColumn("_stripped", F.regexp_replace(
                 F.col("url"),

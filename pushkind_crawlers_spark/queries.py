@@ -1239,3 +1239,29 @@ WHERE rank <= 10 AND sim >= 0.0
 
 QUERIES["benchmark_association"] = benchmark_association_q
 ORACLE["benchmark_association"] = SQL_BENCH_ASSOC
+
+
+def entity_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 HTML entity decode before JSON parse (rusteaco.rs:275):
+    escaped payloads synthesized from part names, decoded by the engine's
+    JVM replace chain; the oracle runs the identical nested replace()."""
+    from .functions.parsing import unescape_entities_col
+
+    p = load(spark, sf, "part")
+    esc = F.concat(
+        F.lit("&quot;"), F.col("p_name"),
+        F.lit("&quot; &amp; &lt;b&gt;tea&lt;/b&gt; &#39;x&#39;"),
+    )
+    return p.select("p_partkey", unescape_entities_col(esc).alias("decoded"))
+
+
+def _entity_decode_sql() -> str:
+    from .functions.parsing import unescape_entities_sql
+
+    esc = ("'&quot;' || p_name || "
+           "'&quot; &amp; &lt;b&gt;tea&lt;/b&gt; &#39;x&#39;'")
+    return f"SELECT p_partkey, {unescape_entities_sql(esc)} AS decoded FROM part"
+
+
+QUERIES["entity_decode"] = entity_decode
+ORACLE["entity_decode"] = _entity_decode_sql()

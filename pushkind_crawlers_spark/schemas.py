@@ -176,6 +176,9 @@ FETCHED = T.StructType(
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("kind", T.StringType(), True),
         T.StructField("last_page", T.IntegerType(), True),
+        # raw pagination-block labels; the per-site read rule (last vs
+        # second-to-last, teanadin.rs:95-99) is applied downstream
+        T.StructField("page_labels", T.ArrayType(T.StringType()), True),
         T.StructField("out_links", T.ArrayType(T.StringType()), True),
         T.StructField("sku", T.StringType(), True),
         T.StructField("name", T.StringType(), True),

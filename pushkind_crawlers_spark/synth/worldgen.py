@@ -26,6 +26,7 @@ Reference analogs (in /root/reference):
 from __future__ import annotations
 
 import hashlib
+import html
 import json
 from dataclasses import dataclass, field
 from functools import lru_cache
@@ -40,6 +41,10 @@ from .png import encode_png
 _PAGE_PARAMS = ("page", "PAGEN_1", "PAGEN_2")
 # per-site politeness budgets, cycled (crawler.rs:43-47 semaphore sizes)
 _BUDGETS = (5, 5, 5, 1, 1)
+# last-page read rule, cycled: teanadin (4th site) reads the SECOND-TO-LAST
+# pagination link because its block ends with a next-page arrow
+# (teanadin.rs:95-99 `.rev().nth(1)`); everyone else reads the last link
+_PAGE_RULES = ("last", "last", "last", "second_last", "last")
 
 _UNITS_POOL = ("кг", "г", "л", "мл", "шт", "%")
 _AMOUNT_TEMPLATES = (
@@ -104,6 +109,7 @@ class HostConfig:
     n_products: int              # product-id universe size
     robots_disallow: list[str] = field(default_factory=list)
     crawl_delay_ms: int = 0
+    last_page_rule: str = "last"  # "last" | "second_last" (teanadin quirk)
 
 
 @dataclass
@@ -115,7 +121,12 @@ class PageDoc:
     kind: str                    # seed | category | listing | product
     depth: int
     out_links: list[str] = field(default_factory=list)
-    last_page: int = 1           # on category (page-1) pages
+    last_page: int = 1           # ground truth (world-internal)
+    # what the page's pagination block actually SHOWS: numeric labels,
+    # plus a trailing next-arrow on second_last-rule hosts — consumers
+    # must apply the per-site read rule (teanadin.rs:95-99), never
+    # last_page directly
+    page_labels: list[str] = field(default_factory=list)
     payload: Optional[dict] = None       # raw extraction strings (product)
     variants_json: Optional[str] = None  # JSON string (rusteaco-style)
     images: list[dict] = field(default_factory=list)  # {image_id, bytes, caption}
@@ -149,6 +160,7 @@ class SyntheticWorld:
             page_param=_PAGE_PARAMS[idx % len(_PAGE_PARAMS)],
             budget_per_round=_BUDGETS[idx % len(_BUDGETS)] * cfg.budget_scale,
             n_products=n_products,
+            last_page_rule=_PAGE_RULES[idx % len(_PAGE_RULES)],
         )
         n_rules = min(cfg.robots_max_rules, int(n_products * cfg.robots_fraction))
         if n_rules > 0:
@@ -246,9 +258,15 @@ class SyntheticWorld:
                         "bytes": make_image_bytes(self.cfg.seed, bid, self.cfg.image_sizes),
                         "caption": f"Category {c} banner / {host}",
                     })
+            labels: list[str] = []
+            if kind == "category" and last >= 2:
+                labels = [str(n) for n in range(1, last + 1)]
+                if hc.last_page_rule == "second_last":
+                    labels.append("→")  # next-page arrow (teanadin.rs:95-99)
             return PageDoc(
                 url=url, host=host, kind=kind, depth=1 if p == 1 else 2,
-                out_links=links, last_page=last, images=images,
+                out_links=links, last_page=last, page_labels=labels,
+                images=images,
             )
         if parts[0] == "p" and len(parts) == 2:
             pid = int(parts[1])
@@ -306,6 +324,11 @@ class SyntheticWorld:
                 for j in range(n_var)
             ]
             variants_json = json.dumps(variants, ensure_ascii=False)
+            if float(r.random()) < 0.5:
+                # S6: half the embedded product JSON arrives HTML-entity-
+                # escaped, as on the reference's site (rusteaco.rs:275) —
+                # consumers must entity-decode before parsing
+                variants_json = html.escape(variants_json, quote=True)
         images = []
         if not invalid:
             lo, hi = cfg.images_per_product

@@ -64,3 +64,58 @@ def test_spark_matches_python_twin(spark):
     for r in rows:
         assert (r["amount"], r["units"]) == parse_amount_units_py(r["raw"]), r["raw"]
         assert r["price"] == clean_price_py(r["praw"]), r["praw"]
+
+
+def test_entity_decode_twins_agree(spark):
+    """S6: JVM replace chain == python twin == html.unescape on the
+    entity subset that HTML-escaped JSON contains."""
+    import html as _html
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pushkind_crawlers_spark.functions.parsing import (
+        unescape_entities_col,
+        unescape_entities_py,
+    )
+
+    samples = [
+        '[{&quot;sku&quot;: &quot;A-1&quot;, &quot;title&quot;: &quot;0.5 кг&quot;}]',
+        "a &amp; b &lt;c&gt; &#39;d&#39; &quot;e&quot;",
+        "no entities at all",
+        "",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"s": samples}))
+    got = [r["d"] for r in df.select(unescape_entities_col(F.col("s")).alias("d")).collect()]
+    for s, g in zip(samples, got):
+        assert g == unescape_entities_py(s)
+        assert g == _html.unescape(s)
+
+
+def test_world_emits_escaped_variants():
+    """The S6 path must actually be exercised: the synthetic world serves
+    BOTH escaped and raw variant JSON on the variant host."""
+    import json
+
+    from pushkind_crawlers_spark.functions.parsing import unescape_entities_py
+    from pushkind_crawlers_spark.synth.worldgen import SyntheticWorld, WorldConfig
+
+    world = SyntheticWorld(WorldConfig(
+        seed=7, n_hosts=2, variant_host_idx=1, variant_fraction=0.6,
+        categories_range=(3, 4), links_per_page=(8, 12),
+        images_per_product=(0, 0),
+    ))
+    host = world.cfg.hosts()[world.cfg.variant_host_idx]
+    hc = world.host_config(host)
+    small_world = world
+    escaped = raw = 0
+    for pid in range(hc.n_products):
+        doc = small_world.fetch(small_world.product_url(host, pid))
+        if doc is None or not doc.variants_json:
+            continue
+        if "&quot;" in doc.variants_json:
+            escaped += 1
+        else:
+            raw += 1
+        json.loads(unescape_entities_py(doc.variants_json))  # always parses
+    assert escaped > 0 and raw > 0

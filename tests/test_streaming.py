@@ -17,7 +17,7 @@ def _fetched_rows(spark, start, n, dup_of=None):
         rows.append({
             "url_hash": key, "url": f"http://s.test/p/{key}", "host": "s.test",
             "depth": 3, "ord": f"{i:08x}", "ok": True, "kind": "product",
-            "last_page": 1, "out_links": None, "sku": f"SKU-{key}",
+            "last_page": 1, "page_labels": None, "out_links": None, "sku": f"SKU-{key}",
             "name": f"name {key}", "category": "c", "units_raw": "шт",
             "price_str": "10,50", "amount_str": "1 кг", "description": "d",
             "variants_json": None, "images": None,
