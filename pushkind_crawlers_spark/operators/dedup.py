@@ -97,13 +97,16 @@ def shingles_sql(table: str = "documents", text_expr: str = "text",
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = N_MINHASHES,
-                       k: int = SHINGLE_K) -> DataFrame:
+                       k: int = SHINGLE_K,
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, hash_idx, minhash): n_hashes independent min-hashes.
 
     hash_i(s) = md5long(i || ':' || s) — deterministic, dialect-portable.
     The groupBy is partial-agg friendly (min combines map-side).
+    ``shingles_df``: pass an already-computed (ideally persisted) shingle
+    frame to share it across consumers.
     """
-    sh = shingles(docs, text_col, id_col, k)
+    sh = shingles_df if shingles_df is not None else shingles(docs, text_col, id_col, k)
     idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx")
     exploded = sh.select("doc_id", "shingle", idx)
     hv = md5long(F.concat(F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle")))
@@ -129,14 +132,22 @@ def minhash_signatures_sql(table: str = "documents", text_expr: str = "text",
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n_hashes: int = N_MINHASHES,
-                        k: int = SHINGLE_K) -> DataFrame:
+                        k: int = SHINGLE_K,
+                        shingles_df: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any (band, minhash) bucket.
 
     Bands of r=1 row (each minhash is its own band). The join key is
     (hash_idx, minhash) — the LSH bucket — so the shuffle never exceeds
     bucket sizes; no cross join.
+
+    The signature frame is persisted before the self-join: at 100 TB the
+    signature column is a PRECOMPUTED, bucket-clustered table; in a
+    single session `persist()` is the same statement — compute the
+    shingle explosion once, not once per join side (Spark does not reuse
+    non-identical-alias subplans across a self-join).
     """
-    sig = minhash_signatures(docs, text_col, id_col, n_hashes, k)
+    sig = minhash_signatures(docs, text_col, id_col, n_hashes, k,
+                             shingles_df=shingles_df).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -230,7 +241,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     ).withColumn(
         "band_val",
         F.expr(f"shiftright(simhash, band * {band_w}) & {(1 << band_w) - 1}"),
-    )
+    ).persist()  # self-join: compute the token×bit aggregation once
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band", "band_val"])
@@ -281,9 +292,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     (doc id, shingle). An LSH candidate set provably contains every pair
     sharing any minimum shingle; pairs the LSH misses are below the
     bands' similarity floor by construction.
+
+    The shingle frame feeds four consumers (sizes, both intersection
+    sides, the minhash signatures) — persisted so the explode runs once;
+    at 100 TB both shingles and signatures are materialized tables.
     """
-    sh = shingles(docs, text_col, id_col, k)
-    cand = lsh_candidate_pairs(docs, text_col, id_col, n_hashes, k)
+    sh = shingles(docs, text_col, id_col, k).persist()
+    cand = lsh_candidate_pairs(docs, text_col, id_col, n_hashes, k,
+                               shingles_df=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("b_shingle"))
@@ -387,9 +403,12 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
 
     planes = hyperplanes(dim, n_planes, seed)
     bucket = lsh_bucket_udf(planes)
+    # persisted: the bucket UDF is one matmul per Arrow batch, but a
+    # self-join would run it once PER SIDE (no subplan reuse across
+    # aliases); at 100 TB the bucket is a precomputed cluster column
     sel = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-    ).withColumn("blk", bucket(F.col("vec")))
+    ).withColumn("blk", bucket(F.col("vec"))).persist()
     a, b = sel.alias("a"), sel.alias("b")
     return (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.vid") < F.col("b.vid")])
