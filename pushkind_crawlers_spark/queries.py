@@ -1265,3 +1265,60 @@ def _entity_decode_sql() -> str:
 
 QUERIES["entity_decode"] = entity_decode
 ORACLE["entity_decode"] = _entity_decode_sql()
+
+
+def _pcm16_bytes(i: int) -> bytes:
+    """Deterministic PCM16 payload: a seeded sine at 220+10*i Hz."""
+    import numpy as np
+
+    n = 1600 + 37 * i
+    t = np.arange(n, dtype=np.float64)
+    wave = np.sin(2.0 * np.pi * (220.0 + 10.0 * i) * t / 16_000.0) * 9000.0
+    return wave.astype("<i2").tobytes()
+
+
+def audio_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio multimodal path: duration + RMS over raw PCM16 binary
+    payloads via the production mapInPandas operator; the oracle is a
+    literal table precomputed by the identical numpy math."""
+    import pandas as pd
+
+    from .operators.multimodal import AUDIO_FEATURES, audio_features_fn
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "audio_id": [f"au-{i:04d}" for i in ids],
+                "bytes": [_pcm16_bytes(int(i)) for i in ids],
+            })
+
+    au = spark.range(64).repartition(4).mapInPandas(
+        gen, "audio_id string, bytes binary"
+    )
+    # no rounding: both sides run the IDENTICAL numpy math, so the doubles
+    # are bit-equal; rounding would only ADD divergence (durations are
+    # exact multiples of 1/16000, which sit on .5 decimal boundaries where
+    # Spark's BigDecimal HALF_UP and Python's binary round disagree)
+    return au.mapInPandas(audio_features_fn(), AUDIO_FEATURES).select(
+        "audio_id", "duration_s", "rms"
+    )
+
+
+def _audio_oracle_sql() -> str:
+    import numpy as np
+
+    vals = []
+    for i in range(64):
+        pcm = np.frombuffer(_pcm16_bytes(i), dtype="<i2").astype(np.float64)
+        dur = len(pcm) / 16_000.0
+        rms = float(np.sqrt((pcm ** 2).mean())) if len(pcm) else 0.0
+        vals.append(
+            f"('au-{i:04d}', CAST({dur!r} AS DOUBLE), CAST({rms!r} AS DOUBLE))"
+        )
+    return ("SELECT * FROM (VALUES " + ", ".join(vals)
+            + ") AS t(audio_id, duration_s, rms)")
+
+
+QUERIES["audio_features"] = audio_features_q
+_LAZY_ORACLE["audio_features"] = _audio_oracle_sql
