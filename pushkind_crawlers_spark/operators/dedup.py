@@ -442,3 +442,106 @@ def embedding_neardup_pairs_sql(table: str = "embeddings", vec_col: str = "embed
     GROUP BY vec_a, vec_b
     HAVING round(SUM(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), 4) >= {threshold}
     """
+
+
+# ------------------------------------------------- dedup cluster assembly
+
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over the near-dup pair graph: every node gets
+    ``cluster_id`` = the minimum doc id reachable through pairs — the
+    step that turns candidate PAIRS into dedup GROUPS (keep one rep per
+    cluster, drop the rest).
+
+    Iterative min-label propagation: each round every node takes
+    ``min(own label, neighbors' labels)``; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — dups of dups).
+    Per iteration: one join of labels to the edge list + one partial-agg
+    min — both keyed on node id, no global structure; this is the
+    standard MapReduce CC recipe and survives 10^10 nodes (the
+    large-star/small-star refinement drops in here if diameters ever get
+    deep). The label frame is persisted per iteration and the loop stops
+    on a fixpoint check (an O(1)-row count, not a collect of labels).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    lbl = nodes.select(F.col(id_col).alias("node"),
+                       F.col(id_col).alias("label")).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(lbl, edges.dst == lbl.node)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_lbl = (
+            lbl.join(nbr_min, lbl.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_lbl.alias("n").join(lbl.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        lbl.unpersist()
+        lbl = new_lbl
+        if changed == 0:
+            break
+    return lbl.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   k: int = SHINGLE_K, threshold: float = 0.5,
+                   n_hashes: int = N_MINHASHES) -> DataFrame:
+    """Full dedup-group assignment: LSH candidates -> exact-Jaccard
+    confirm -> connected components -> (doc_id, cluster_id, cluster_size,
+    is_rep). ``is_rep`` marks the row a dedup pass KEEPS (min id per
+    cluster — the reference's first-wins generalized to content)."""
+    pairs = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold, n_hashes)
+    comp = connected_components(pairs, docs.select(id_col), id_col)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            id_col, "cluster_id", "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_rep"),
+        )
+    )
+
+
+def dedup_clusters_sql(table: str = "documents", text_expr: str = "text",
+                       id_col: str = "doc_id",
+                       k: int = SHINGLE_K, threshold: float = 0.5,
+                       n_hashes: int = N_MINHASHES) -> str:
+    """Recursive-CTE twin: cluster_id = min reachable id over the pair
+    graph (transitive closure is fine at oracle scale)."""
+    pairs = ngram_jaccard_pairs_sql(table, text_expr, id_col, k, threshold, n_hashes)
+    return f"""
+    WITH RECURSIVE pair_edges AS (
+      SELECT doc_a, doc_b FROM ({pairs})
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pair_edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pair_edges
+    ), reach(node, r) AS (
+      SELECT {id_col} AS node, {id_col} AS r FROM {table}
+      UNION
+      SELECT reach.node, e.dst
+      FROM reach JOIN edges e ON e.src = reach.r
+    ), comp AS (
+      SELECT node AS {id_col}, min(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.{id_col}, c.cluster_id, s.cluster_size,
+           c.{id_col} = c.cluster_id AS is_rep
+    FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id
+    """

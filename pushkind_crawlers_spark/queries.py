@@ -1322,3 +1322,15 @@ def _audio_oracle_sql() -> str:
 
 QUERIES["audio_features"] = audio_features_q
 _LAZY_ORACLE["audio_features"] = _audio_oracle_sql
+
+
+def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-group assignment: LSH candidates -> exact-Jaccard confirm ->
+    distributed connected components (iterative min-label propagation) ->
+    one representative per cluster. The oracle computes the same
+    components with a recursive CTE (transitive closure + min)."""
+    return D.dedup_clusters(load(spark, sf, "documents"), threshold=0.2)
+
+
+QUERIES["dedup_clusters"] = dedup_clusters_q
+ORACLE["dedup_clusters"] = D.dedup_clusters_sql(threshold=0.2)

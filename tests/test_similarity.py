@@ -157,3 +157,29 @@ def test_prompt_golden(spark):
         "Name: Tea\nSKU: SKU1\nCategory: Green\nUnits: кг\n"
         "Price: 10.5\nAmount: 0.5\nDescription: Nice tea"
     )
+
+
+def test_connected_components_hand_graph(spark):
+    """CC on a known graph: {1-2-3} + {5-6} + isolated 9."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 5], "doc_b": [2, 3, 6]})
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 5, 6, 9]})
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_dedup_clusters_groups_exact_dups(spark, docs):
+    out = {r["doc_id"]: r for r in D.dedup_clusters(docs, threshold=0.2).collect()}
+    # docs 0, 1 (near-dup) and 3 (exact dup) form one cluster, rep = 0
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[3]["cluster_id"] == 0
+    assert out[0]["is_rep"] and not out[1]["is_rep"] and not out[3]["is_rep"]
+    assert out[0]["cluster_size"] == 3
+    # 2 and 4 stay singletons
+    assert out[2]["cluster_id"] == 2 and out[4]["cluster_id"] == 4
+    assert out[2]["cluster_size"] == 1 and out[4]["is_rep"]
