@@ -83,6 +83,21 @@ def test_text_ops_stay_jvm(spark):
         assert "BatchEvalPython" not in plan, name  # row-at-a-time Python banned
 
 
+def test_new_pipelines_no_cartesian(spark):
+    """The round-2 composed queries keep bucket/key-joined shapes."""
+    for name in ("dedup_clusters", "benchmark_association", "assoc_replace",
+                 "replace_children", "validation_split"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_validation_split_stays_jvm(spark):
+    """S1 validation is pure column expressions — no Python anywhere."""
+    plan = _plan(spark, "validation_split")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_merge_upsert_no_broadcast_nested_loop(spark):
     """Broadcast-hash is unsupported for full_outer; a hint there either
     dies or degrades to BroadcastNestedLoopJoin — the merge must plan as
