@@ -26,10 +26,8 @@ giant per-host sort:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 DEFAULT_BUDGET = 5
 
@@ -107,46 +105,44 @@ def schedule_round(
     )
 
 
-def robots_blocked_udf(rules: dict[str, list[str]]):
-    """Vectorized robots check: (host, path-bearing url) -> blocked flag.
+def parse_robots_py(text: str | None) -> list[str]:
+    """robots.txt -> Disallow prefixes for ``User-agent: *``.
 
-    ``rules`` maps host -> disallow path prefixes; captured once per
-    executor, evaluated with pandas string ops per Arrow batch."""
-    rule_tuples = {h: tuple(p) for h, p in rules.items() if p}
-
-    @F.pandas_udf(BooleanType())
-    def blocked(host: pd.Series, url: pd.Series) -> pd.Series:
-        out = pd.Series(False, index=url.index)
-        # path = everything after scheme://host
-        paths = url.str.replace(r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True)
-        for h, prefixes in rule_tuples.items():
-            mask = host == h
-            if mask.any():
-                out.loc[mask] = paths[mask].str.startswith(prefixes)
-        return out
-
-    return blocked
-
-
-def robots_flag(
-    candidates: DataFrame, politeness_rules: dict[str, list[str]],
-    flag_col: str = "_blocked",
-) -> DataFrame:
-    """Append a robots-blocked flag column (evaluated ONCE — callers that
-    need both halves should materialize this frame, then filter twice,
-    instead of re-running the UDF chain per half)."""
-    if not any(politeness_rules.values()):
-        return candidates.withColumn(flag_col, F.lit(False))
-    blocked = robots_blocked_udf(politeness_rules)
-    return candidates.withColumn(flag_col, blocked(F.col("host"), F.col("url")))
+    Sectioned parse (rules under other agents are ignored), comments
+    stripped, empty Disallow (= allow all) skipped. Pure function — the
+    Arrow-batched fetch stage calls it per host row (the parse lives at
+    the I/O boundary, like HTML parsing), and the oracle twin shares it.
+    """
+    if not text:
+        return []
+    prefixes: list[str] = []
+    active = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            active = val == "*"
+        elif key == "disallow" and active and val:
+            prefixes.append(val)
+    return prefixes
 
 
-def apply_robots(
-    candidates: DataFrame, politeness_rules: dict[str, list[str]]
+def split_by_robots(
+    candidates: DataFrame, rules: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """Split candidates into (allowed, robots-rejected)."""
-    flagged = robots_flag(candidates, politeness_rules)
-    return (
-        flagged.filter(~F.col("_blocked")).drop("_blocked"),
-        flagged.filter(F.col("_blocked")).drop("_blocked"),
-    )
+    """Split candidates into (allowed, robots-rejected) against a
+    ``(host, prefix)`` rules TABLE — a host-keyed semi/anti join with a
+    JVM ``startswith`` predicate. No driver-side dict, no Python in the
+    match: at web scale the rules table spans 10^6+ hosts and joins like
+    any other dimension (broadcast while it fits, shuffle on host after).
+    """
+    path = F.regexp_replace(F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    cand = candidates.withColumn("_path", path)
+    r = rules.select(F.col("host").alias("_rhost"), F.col("prefix").alias("_rprefix"))
+    cond = (F.col("host") == F.col("_rhost")) & F.col("_path").startswith(F.col("_rprefix"))
+    allowed = cand.join(r, cond, "left_anti").drop("_path")
+    rejected = cand.join(r, cond, "left_semi").drop("_path")
+    return allowed, rejected

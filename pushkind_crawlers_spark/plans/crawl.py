@@ -38,7 +38,12 @@ from ..functions.parsing import (
     validate_products,
 )
 from ..functions.urlnorm import canonicalize_url_udf, host_of
-from ..operators.budget import host_splits, robots_flag, schedule_round
+from ..operators.budget import (
+    host_splits,
+    parse_robots_py,
+    schedule_round,
+    split_by_robots,
+)
 from ..operators.ordering import global_sequence
 from ..operators.priority import (
     PriorityWeights,
@@ -189,9 +194,15 @@ class CrawlEngine:
         self.bloom: NumpyBloom | None = (
             NumpyBloom.sized_for(bloom_expected) if use_bloom else None
         )
-        self._robots_rules = {
-            hc["host"]: list(hc["robots_disallow"] or []) for hc in world.politeness_rows()
-        } if use_robots else {}
+        self._work = os.path.join(store_root, "_work")
+        # robots.txt is FETCHED and PARSED (sectioned, User-agent: *) per
+        # host — a distributed stage like any page fetch, producing the
+        # (host, prefix) rules table; nothing arrives out of band
+        self._robots_df = (
+            self._fetch_robots_rules([h["host"] for h in world.politeness_rows()])
+            if use_robots else
+            spark.createDataFrame([], "host string, prefix string")
+        )
         self._tables = {
             "frontier": schemas.FRONTIER,
             "seen": schemas.SEEN,
@@ -221,9 +232,33 @@ class CrawlEngine:
                 "host string, crawler_id int, page_param string, last_page_rule string",
             )
         )
-        self._work = os.path.join(store_root, "_work")
 
     # ------------------------------------------------------------------
+
+    def _fetch_robots_rules(self, hosts: list[str]) -> DataFrame:
+        """GET+parse /robots.txt per host, distributed: one mapInPandas
+        over the host list (at 10^6+ hosts this is just another fetch
+        stage), yielding the (host, prefix) rules dimension. Hosts whose
+        robots.txt is absent/unfetchable get no rules (allow-all)."""
+        world = self.world
+
+        def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_h, out_p = [], []
+                for h in pdf["host"]:
+                    for prefix in parse_robots_py(world.robots_txt(h)):
+                        out_h.append(h)
+                        out_p.append(prefix)
+                yield pd.DataFrame({"host": out_h, "prefix": out_p})
+
+        hosts_df = self.spark.createDataFrame(
+            [(h,) for h in hosts], "host string"
+        )
+        rules = hosts_df.mapInPandas(fetch_parse, "host string, prefix string")
+        # materialize once (tiny: rules rows only) — consumed every round
+        path = os.path.join(self._work, "robots_rules")
+        rules.write.mode("overwrite").parquet(path)
+        return self.spark.read.schema("host string, prefix string").parquet(path)
 
     def _stage_df(self, df: DataFrame, round_no: int, name: str) -> tuple[DataFrame, int]:
         """Materialize an intermediate once (deterministic reuse across the
@@ -403,16 +438,14 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # axis A: bloom fast path + cuckoo-bucket confirm vs seen table;
-        # the robots flag is computed in the same pass and the flagged
-        # frame staged ONCE — both halves then filter the staged parquet
-        # instead of re-running the dedup+robots chain per half
-        new_links = filter_new_urls(deduped, seen, self.bloom)
-        flagged, _ = self._stage_df(
-            robots_flag(new_links, self._robots_rules), round_no, "new_links"
+        # axis A: bloom fast path + anti-join confirm vs seen table; the
+        # surviving links are staged ONCE, then split against the robots
+        # rules table with a host-keyed semi/anti join (JVM startswith
+        # predicate — no driver dict, no Python in the match)
+        new_links, _ = self._stage_df(
+            filter_new_urls(deduped, seen, self.bloom), round_no, "new_links"
         )
-        allowed = flagged.filter(~F.col("_blocked")).drop("_blocked")
-        robots_rejected = flagged.filter(F.col("_blocked")).drop("_blocked")
+        allowed, robots_rejected = split_by_robots(new_links, self._robots_df)
 
         # ---- priority scoring (Arrow UDFs unless parity fast path) --------
         # novelty is PARENT-scoped: each new link inherits the mean

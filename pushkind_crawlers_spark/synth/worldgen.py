@@ -186,6 +186,22 @@ class SyntheticWorld:
     def seed_urls(self) -> list[str]:
         return [f"http://{h}/" for h in self.cfg.hosts()]
 
+    def robots_txt(self, host: str) -> Optional[str]:
+        """GET /robots.txt — the engine PARSES this (sectioned, with
+        comments and a decoy agent section) instead of receiving rule
+        lists out of band; a parser that ignored sectioning would block
+        everything and fail parity loudly."""
+        hc = self._host_cfgs.get(host)
+        if hc is None:
+            return None
+        lines = ["# synthetic robots.txt", "User-agent: *"]
+        lines += [f"Disallow: {p}" for p in hc.robots_disallow]
+        lines.append("Disallow:")  # empty = allow-all, must be ignored
+        if hc.crawl_delay_ms:
+            lines.append(f"Crawl-delay: {hc.crawl_delay_ms / 1000:g}")
+        lines += ["", "User-agent: badbot", "Disallow: /"]
+        return "\n".join(lines) + "\n"
+
     # ---- url helpers -----------------------------------------------------
 
     def category_url(self, host: str, c: int) -> str:

@@ -119,3 +119,35 @@ def test_world_emits_escaped_variants():
             raw += 1
         json.loads(unescape_entities_py(doc.variants_json))  # always parses
     assert escaped > 0 and raw > 0
+
+
+def test_robots_parser_sectioning():
+    """robots.txt parse: only User-agent:* rules apply; comments and the
+    empty Disallow (allow-all) are ignored; other agents' sections too."""
+    from pushkind_crawlers_spark.operators.budget import parse_robots_py
+
+    txt = (
+        "# hi\n"
+        "User-agent: *\n"
+        "Disallow: /p/000001  # inline comment\n"
+        "Disallow:\n"
+        "Crawl-delay: 0.5\n"
+        "\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "User-Agent: *\n"
+        "disallow: /admin\n"
+    )
+    assert parse_robots_py(txt) == ["/p/000001", "/admin"]
+    assert parse_robots_py(None) == []
+    assert parse_robots_py("User-agent: badbot\nDisallow: /\n") == []
+
+
+def test_world_robots_txt_matches_config():
+    from pushkind_crawlers_spark.operators.budget import parse_robots_py
+    from pushkind_crawlers_spark.synth.worldgen import SyntheticWorld, WorldConfig
+
+    world = SyntheticWorld(WorldConfig(seed=7, n_hosts=3, robots_fraction=0.2))
+    for h in world.cfg.hosts():
+        assert parse_robots_py(world.robots_txt(h)) == world.host_config(h).robots_disallow
+    assert world.robots_txt("nowhere.test") is None
