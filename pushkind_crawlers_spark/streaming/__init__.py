@@ -1,3 +1,7 @@
 from .ingest import results_ingest_stream, sessionize_stream, start_results_ingest
+from .state import stateful_host_stats, stateful_seen_filter
 
-__all__ = ["results_ingest_stream", "sessionize_stream", "start_results_ingest"]
+__all__ = [
+    "results_ingest_stream", "sessionize_stream", "start_results_ingest",
+    "stateful_host_stats", "stateful_seen_filter",
+]

@@ -71,3 +71,83 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     for r in got.collect():
         assert r["total"] <= want[r["user_id"]]
     assert got.count() > 0
+
+
+def test_stateful_seen_filter_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState URL dedup: duplicates suppressed ACROSS
+    micro-batches (each input file is its own trigger), first-wins."""
+    import pandas as pd
+
+    from pushkind_crawlers_spark.streaming import stateful_seen_filter
+
+    inp = str(tmp_path / "urls")
+    rows1 = pd.DataFrame({
+        "url_hash": [1, 2, 3, 2], "url": ["u1", "u2", "u3", "u2"],
+        "host": ["h"] * 4, "ord": ["a", "b", "c", "d"],
+    })
+    rows2 = pd.DataFrame({
+        "url_hash": [2, 3, 4], "url": ["u2", "u3", "u4"],
+        "host": ["h"] * 3, "ord": ["e", "f", "g"],
+    })
+    schema = "url_hash long, url string, host string, ord string"
+    spark.createDataFrame(rows1, schema).write.parquet(f"{inp}/b1")
+    spark.createDataFrame(rows2, schema).write.parquet(f"{inp}/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)   # force separate micro-batches
+        .parquet(f"{inp}/*")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stateful_seen_filter(stream, n_shards=4)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url_hash"] for r in spark.read.parquet(out).collect()}
+    n = spark.read.parquet(out).count()
+    assert got == {1, 2, 3, 4}
+    assert n == 4                          # every duplicate suppressed
+
+
+def test_stateful_host_stats_running_totals(spark, tmp_path):
+    import pandas as pd
+
+    from pushkind_crawlers_spark.streaming import stateful_host_stats
+
+    inp = str(tmp_path / "ev")
+    schema = "url_hash long, url string, host string, ord string"
+    b1 = pd.DataFrame({"url_hash": [1, 2], "url": ["a", "b"],
+                       "host": ["h1", "h1"], "ord": ["x", "y"]})
+    b2 = pd.DataFrame({"url_hash": [3, 4, 5], "url": ["c", "d", "e"],
+                       "host": ["h1", "h2", "h2"], "ord": ["z", "w", "v"]})
+    spark.createDataFrame(b1, schema).write.parquet(f"{inp}/b1")
+    spark.createDataFrame(b2, schema).write.parquet(f"{inp}/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*")
+    )
+    rows = []
+    q = (
+        stateful_host_stats(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    finals = {}
+    for r in rows:
+        finals[r["host"]] = (r["total_rows"], r["batches"])
+    # running totals accumulated across micro-batches (batch COUNT is
+    # trigger-dependent — availableNow may add an empty flush batch)
+    assert finals["h1"][0] == 3 and finals["h2"][0] == 2
+    assert finals["h1"][1] >= 2   # state genuinely carried across batches
+    # intermediate emission existed with a smaller running total
+    h1_totals = [r["total_rows"] for r in rows if r["host"] == "h1"]
+    assert min(h1_totals) < 3
