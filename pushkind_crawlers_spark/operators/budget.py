@@ -60,6 +60,8 @@ def schedule_round(
     politeness: DataFrame,
     default_budget: int = DEFAULT_BUDGET,
     splits: DataFrame | dict[str, int] | None = None,
+    delays: DataFrame | None = None,
+    round_window_s: float | None = None,
 ) -> DataFrame:
     """Deterministic per-host top-``budget_per_round`` of the frontier.
 
@@ -68,6 +70,11 @@ def schedule_round(
 
     ``splits``: a ``(host, _splits)`` DataFrame (the :func:`host_splits`
     aggregate — the scale path), or a small dict for tests/benchmarks.
+
+    ``delays`` + ``round_window_s``: robots Crawl-delay enforcement — a
+    ``(host, crawl_delay_s)`` table caps the per-round budget at
+    ``floor(round_window_s / delay)`` (never below 1, so a pathological
+    delay cannot starve a host forever). Off unless both are given.
     """
     spark = frontier.sparkSession
     if splits is None:
@@ -89,7 +96,29 @@ def schedule_round(
     df = (
         frontier.join(budgets, "host", "left")
         .withColumn("_budget", F.coalesce("_budget", F.lit(default_budget)))
-        .join(splits_df, "host", "left")
+    )
+    if delays is not None and round_window_s is not None:
+        d = delays.select("host", F.col("crawl_delay_s").alias("_delay"))
+        df = (
+            df.join(d, "host", "left")
+            .withColumn(
+                "_budget",
+                F.when(
+                    F.col("_delay").isNotNull() & (F.col("_delay") > 0),
+                    F.least(
+                        F.col("_budget"),
+                        F.greatest(
+                            F.lit(1),
+                            F.floor(F.lit(float(round_window_s)) / F.col("_delay"))
+                            .cast("int"),
+                        ),
+                    ),
+                ).otherwise(F.col("_budget")),
+            )
+            .drop("_delay")
+        )
+    df = (
+        df.join(splits_df, "host", "left")
         .withColumn("_splits", F.coalesce("_splits", F.lit(1)))
         .withColumn("_salt", F.pmod(F.xxhash64("url"), F.col("_splits")))
     )
@@ -105,17 +134,20 @@ def schedule_round(
     )
 
 
-def parse_robots_py(text: str | None) -> list[str]:
-    """robots.txt -> Disallow prefixes for ``User-agent: *``.
+def parse_robots_full_py(text: str | None) -> tuple[list[str], float | None]:
+    """robots.txt -> (Disallow prefixes, Crawl-delay seconds) for
+    ``User-agent: *``.
 
     Sectioned parse (rules under other agents are ignored), comments
-    stripped, empty Disallow (= allow all) skipped. Pure function — the
-    Arrow-batched fetch stage calls it per host row (the parse lives at
-    the I/O boundary, like HTML parsing), and the oracle twin shares it.
+    stripped, empty Disallow (= allow all) skipped, unparseable
+    Crawl-delay ignored. Pure function — the Arrow-batched fetch stage
+    calls it per host row (the parse lives at the I/O boundary, like
+    HTML parsing), and the oracle twin shares it.
     """
     if not text:
-        return []
+        return [], None
     prefixes: list[str] = []
+    delay: float | None = None
     active = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -127,7 +159,17 @@ def parse_robots_py(text: str | None) -> list[str]:
             active = val == "*"
         elif key == "disallow" and active and val:
             prefixes.append(val)
-    return prefixes
+        elif key == "crawl-delay" and active:
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    return prefixes, delay
+
+
+def parse_robots_py(text: str | None) -> list[str]:
+    """Disallow prefixes only (see :func:`parse_robots_full_py`)."""
+    return parse_robots_full_py(text)[0]
 
 
 def split_by_robots(

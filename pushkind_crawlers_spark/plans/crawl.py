@@ -40,7 +40,7 @@ from ..functions.parsing import (
 from ..functions.urlnorm import canonicalize_url_udf, host_of
 from ..operators.budget import (
     host_splits,
-    parse_robots_py,
+    parse_robots_full_py,
     schedule_round,
     split_by_robots,
 )
@@ -181,6 +181,7 @@ class CrawlEngine:
         bloom_expected: int = 1 << 20,
         run_id: str | None = None,
         keep_images: bool = True,
+        round_window_s: float | None = None,
     ):
         self.spark = spark
         self.world = world
@@ -197,12 +198,23 @@ class CrawlEngine:
         self._work = os.path.join(store_root, "_work")
         # robots.txt is FETCHED and PARSED (sectioned, User-agent: *) per
         # host — a distributed stage like any page fetch, producing the
-        # (host, prefix) rules table; nothing arrives out of band
-        self._robots_df = (
-            self._fetch_robots_rules([h["host"] for h in world.politeness_rows()])
-            if use_robots else
-            spark.createDataFrame([], "host string, prefix string")
-        )
+        # (host, prefix | crawl_delay_s) rules table; nothing arrives out
+        # of band. Crawl-delay caps the per-round budget when a round
+        # window is configured.
+        self.round_window_s = round_window_s
+        if use_robots:
+            fetched_rules = self._fetch_robots_rules(
+                [h["host"] for h in world.politeness_rows()]
+            )
+            self._robots_df = fetched_rules.filter(
+                F.col("prefix").isNotNull()
+            ).select("host", "prefix")
+            self._delays_df = fetched_rules.filter(
+                F.col("crawl_delay_s").isNotNull()
+            ).select("host", "crawl_delay_s")
+        else:
+            self._robots_df = spark.createDataFrame([], "host string, prefix string")
+            self._delays_df = spark.createDataFrame([], "host string, crawl_delay_s double")
         self._tables = {
             "frontier": schemas.FRONTIER,
             "seen": schemas.SEEN,
@@ -244,21 +256,28 @@ class CrawlEngine:
 
         def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                out_h, out_p = [], []
+                rows = {"host": [], "prefix": [], "crawl_delay_s": []}
                 for h in pdf["host"]:
-                    for prefix in parse_robots_py(world.robots_txt(h)):
-                        out_h.append(h)
-                        out_p.append(prefix)
-                yield pd.DataFrame({"host": out_h, "prefix": out_p})
+                    prefixes, delay = parse_robots_full_py(world.robots_txt(h))
+                    for prefix in prefixes:
+                        rows["host"].append(h)
+                        rows["prefix"].append(prefix)
+                        rows["crawl_delay_s"].append(None)
+                    if delay is not None:
+                        rows["host"].append(h)
+                        rows["prefix"].append(None)
+                        rows["crawl_delay_s"].append(float(delay))
+                yield pd.DataFrame(rows)
 
         hosts_df = self.spark.createDataFrame(
             [(h,) for h in hosts], "host string"
         )
-        rules = hosts_df.mapInPandas(fetch_parse, "host string, prefix string")
+        schema = "host string, prefix string, crawl_delay_s double"
+        rules = hosts_df.mapInPandas(fetch_parse, schema)
         # materialize once (tiny: rules rows only) — consumed every round
         path = os.path.join(self._work, "robots_rules")
         rules.write.mode("overwrite").parquet(path)
-        return self.spark.read.schema("host string, prefix string").parquet(path)
+        return self.spark.read.schema(schema).parquet(path)
 
     def _stage_df(self, df: DataFrame, round_no: int, name: str) -> tuple[DataFrame, int]:
         """Materialize an intermediate once (deterministic reuse across the
@@ -356,7 +375,11 @@ class CrawlEngine:
 
         # ---- axis B: politeness budget truncation (host-salted) ----------
         splits = host_splits(frontier)
-        scheduled = schedule_round(frontier, self._politeness, splits=splits)
+        scheduled = schedule_round(
+            frontier, self._politeness, splits=splits,
+            delays=self._delays_df if self.round_window_s else None,
+            round_window_s=self.round_window_s,
+        )
         scheduled, m.scheduled = self._stage_df(scheduled, round_no, "scheduled")
         if m.scheduled == 0:
             # frontier rows exist but nothing schedulable -> terminate cleanly
