@@ -1334,3 +1334,67 @@ def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["dedup_clusters"] = dedup_clusters_q
 ORACLE["dedup_clusters"] = D.dedup_clusters_sql(threshold=0.2)
+
+
+def cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations + totals)."""
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Running window sum per customer over a deterministic order."""
+    o = load(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+"""
+
+
+def exists_semijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS shape: suppliers that shipped any high-value line (left_semi
+    — the probe side never widens the output)."""
+    s = load(spark, sf, "supplier")
+    li = load(spark, sf, "lineitem").filter(F.col("l_extendedprice") > 50000)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+SQL_EXISTS = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s.s_suppkey AND l_extendedprice > 50000)
+"""
+
+QUERIES["cube_revenue"] = cube_revenue
+ORACLE["cube_revenue"] = SQL_CUBE
+QUERIES["running_total"] = running_total
+ORACLE["running_total"] = SQL_RUNNING_TOTAL
+QUERIES["exists_semijoin"] = exists_semijoin
+ORACLE["exists_semijoin"] = SQL_EXISTS
