@@ -95,25 +95,66 @@ def shingles_sql(table: str = "documents", text_expr: str = "text",
 
 # ------------------------------------------------------------ MinHash + LSH
 
+def _uh_consts(n_hashes: int) -> list[tuple[int, int, int, int]]:
+    """Deterministic 30-bit constants (xor-mask, odd multiplier) × 2 for
+    n universal hash functions.
+
+    Fixed-seed LCG (no runtime randomness) shared with the SQL twin so
+    both engines compute byte-identical signatures. The xor premix is
+    load-bearing: a PLAIN affine mix ``A*lo + B*hi`` keeps the min-rank
+    ordering correlated across functions (a shingle with small lo AND hi
+    wins every min), which destroys the minhash independence assumption;
+    ``B*(lo^A) + D*(hi^C)`` reshuffles the ordering per function.
+    """
+    x = 0x9E3779B97F4A7C15
+    out = []
+    for _ in range(n_hashes):
+        vals = []
+        for j in range(4):
+            x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+            v = x >> 34  # 30 bits
+            vals.append(v | 1 if j % 2 else v)  # multipliers odd
+        out.append(tuple(vals))
+    return out
+
+
+_LO_MASK = (1 << 30) - 1
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = N_MINHASHES,
                        k: int = SHINGLE_K,
                        shingles_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, hash_idx, minhash): n_hashes independent min-hashes.
 
-    hash_i(s) = md5long(i || ':' || s) — deterministic, dialect-portable.
-    The groupBy is partial-agg friendly (min combines map-side).
+    One md5 per shingle; the n hash functions are multiply-xor mixes of
+    its 30-bit halves, ``h_i = B_i*(lo^A_i) + D_i*(hi^C_i)`` (products
+    < 2^61 — no BIGINT overflow on either engine, unlike arbitrary
+    64-bit multiplies, which DuckDB rejects and Spark silently wraps).
+    This is ~n× less hashing and n× fewer shuffle-input rows than
+    hashing ``i || shingle`` per function: the groupBy carries ONE row
+    per (doc, shingle) with n min-agg columns (map-side combine), then
+    posexplodes the n mins into the (doc_id, hash_idx, minhash) layout.
     ``shingles_df``: pass an already-computed (ideally persisted) shingle
     frame to share it across consumers.
     """
     sh = shingles_df if shingles_df is not None else shingles(docs, text_col, id_col, k)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx")
-    exploded = sh.select("doc_id", "shingle", idx)
-    hv = md5long(F.concat(F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        exploded.withColumn("hv", hv)
-        .groupBy("doc_id", "hash_idx")
-        .agg(F.min("hv").alias("minhash"))
+    consts = _uh_consts(n_hashes)
+    base = sh.select(
+        "doc_id",
+        (md5long(F.col("shingle")).bitwiseAND(F.lit(_LO_MASK))).alias("lo"),
+        F.shiftright(md5long(F.col("shingle")), 30).alias("hi"),
+    )
+    aggs = [
+        F.min(F.col("lo").bitwiseXOR(F.lit(a)) * F.lit(b)
+              + F.col("hi").bitwiseXOR(F.lit(c)) * F.lit(d)).alias(f"m{i}")
+        for i, (a, b, c, d) in enumerate(consts)
+    ]
+    mins = base.groupBy("doc_id").agg(*aggs)
+    return mins.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(n_hashes)]))
+        .alias("hash_idx", "minhash"),
     )
 
 
@@ -121,12 +162,22 @@ def minhash_signatures_sql(table: str = "documents", text_expr: str = "text",
                            id_col: str = "doc_id", n_hashes: int = N_MINHASHES,
                            k: int = SHINGLE_K) -> str:
     sh = shingles_sql(table, text_expr, id_col, k)
-    hv = md5long_sql("CAST(hash_idx AS VARCHAR) || ':' || shingle")
+    consts = _uh_consts(n_hashes)
+    b = md5long_sql("shingle")
+    min_cols = ", ".join(
+        f"min(xor(lo, {a}) * {bb} + xor(hi, {c}) * {d}) AS m{i}"
+        for i, (a, bb, c, d) in enumerate(consts)
+    )
+    case = " ".join(f"WHEN {i} THEN m{i}" for i in range(n_hashes))
     return f"""
-    SELECT doc_id, hash_idx, min({hv}) AS minhash
-    FROM ({sh}) s,
-         UNNEST(generate_series(0, {n_hashes - 1})) AS h(hash_idx)
-    GROUP BY doc_id, hash_idx
+    WITH lohi AS (
+      SELECT doc_id, ({b}) & {_LO_MASK} AS lo, ({b}) >> 30 AS hi
+      FROM ({sh}) s
+    ), mins AS (
+      SELECT doc_id, {min_cols} FROM lohi GROUP BY doc_id
+    )
+    SELECT doc_id, hash_idx, CASE hash_idx {case} END AS minhash
+    FROM mins, UNNEST(generate_series(0, {n_hashes - 1})) AS h(hash_idx)
     """
 
 
@@ -273,6 +324,67 @@ def simhash_near_pairs_sql(table: str = "documents", text_expr: str = "text",
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= {max_hamming}
+    """
+
+
+# ------------------------------------- generic signature near-pairs (phash)
+
+def signature_near_pairs(sig: DataFrame, sig_col: str = "sig",
+                         id_col: str = "id", n_bits: int = 64,
+                         max_hamming: int = 3) -> DataFrame:
+    """Near-pairs over ANY n-bit integer signature column (image phash,
+    simhash, audio fingerprint): pigeonhole band join + bit_count confirm.
+
+    Two signatures within Hamming <= h over h+1 bands must share at least
+    one exact band, so the self-join shuffles on (band, band_val) — never
+    all-pairs. This is the image-dedup primitive for a crawl corpus: join
+    the frontier's phash column against itself (or against the seen
+    corpus) to kill near-duplicate images before storage. Shifts are
+    arithmetic in both engines and the mask makes sign-extension moot, so
+    the SQL twin is bit-exact even for negative 64-bit signatures.
+    """
+    n_bands = max_hamming + 1
+    band_w = n_bits // n_bands
+    mask = (1 << band_w) - 1
+    banded = sig.select(
+        F.col(id_col).alias("sid"), F.col(sig_col).alias("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, band * {band_w}) & {mask}"),
+    ).persist()  # self-join: bucket each side once, not per alias
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def signature_near_pairs_sql(inner_sql: str, sig_col: str = "sig",
+                             id_col: str = "id", n_bits: int = 64,
+                             max_hamming: int = 3) -> str:
+    """SQL twin of :func:`signature_near_pairs` over an inner query that
+    yields (id, sig)."""
+    n_bands = max_hamming + 1
+    band_w = n_bits // n_bands
+    mask = (1 << band_w) - 1
+    return f"""
+    WITH sigt AS ({inner_sql}), banded AS (
+      SELECT {id_col} AS sid, {sig_col} AS sigv, band,
+             ({sig_col} >> (band * {band_w})) & {mask} AS band_val
+      FROM sigt, UNNEST(generate_series(0, {n_bands - 1})) AS b(band)
+    )
+    SELECT DISTINCT a.sid AS id_a, b.sid AS id_b,
+           bit_count(CAST(xor(a.sigv, b.sigv) AS BIGINT)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.sid < b.sid
+    WHERE bit_count(CAST(xor(a.sigv, b.sigv) AS BIGINT)) <= {max_hamming}
     """
 
 

@@ -1,13 +1,15 @@
 """Multimodal column operators (graft brief: image/audio/video as opaque
 binary columns with typed metadata).
 
-Real in this container: PNG decode (pure-zlib codec), resize (numpy
-nearest-neighbor), grayscale feature extraction (32-bin histogram +
-phash), thumbnailing back to PNG. Stubbed behind import-gates /
-NotImplementedError: JPEG/WebP decode, audio resample, video
-frame-sampling — the Spark-side plumbing (schema, Arrow batch shape,
-partitioning) is real and tested either way, so swapping in a decoder
-library on a cluster changes one function body, not the plan.
+Real in this container: PNG decode (pure-zlib codec), LJQ1 lossy decode
+(PSNR>=40dB invariant), resize (numpy nearest-neighbor), grayscale
+feature extraction (32-bin histogram + phash), thumbnailing back to
+PNG, audio duration/RMS over raw PCM16, and video frame sampling over
+the VMJ1 synthetic container. Stubbed behind NotImplementedError:
+real-world compressed codecs (libjpeg/WebP, MP3/AAC, MP4/WebM demux) —
+the Spark-side plumbing (schema, Arrow batch shape, partitioning) is
+identical either way, so swapping in a decoder library on a cluster
+changes one function body, not the plan.
 
 Everything is ``mapInPandas`` over Arrow batches — one numpy pass per
 batch, no per-row Python beyond the codec loop itself.
@@ -178,14 +180,37 @@ def audio_features_fn(sample_rate: int = 16_000, pcm16: bool = True):
 
 
 def video_frame_sample_fn(every_n: int = 10):
-    """Video frame sampling stub: raises offline (no container parser);
-    the schema + batch contract is what downstream code binds to."""
+    """(video_id, bytes) -> one row per sampled frame (frames 0, n, 2n…).
+
+    Demuxes the VMJ1 synthetic container (real-on-synthetic, like the
+    audio PCM16 path); a real MP4/WebM demuxer slots into
+    ``synth.video.demux_video`` on a cluster — the operator contract
+    (opaque binary in, frame rows out) and the plan are unchanged.
+    Sampled frame payloads are complete still images, so
+    :func:`extract_image_features` composes directly on the output.
+    """
+    from ..synth.video import demux_video
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video demux not available offline; schema contract: "
-            f"{[f.name for f in VIDEO_FRAMES.fields]}, one row per sampled frame"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            ids, nos, blobs = [], [], []
+            for video_id, data in zip(pdf["video_id"], pdf["bytes"]):
+                frames, _fps = demux_video(bytes(data))
+                for no in range(0, len(frames), every_n):
+                    ids.append(video_id)
+                    nos.append(no)
+                    blobs.append(frames[no])
+            yield pd.DataFrame({
+                "video_id": ids,
+                "frame_no": pd.array(nos, dtype="int32"),
+                "frame_png": blobs,
+            })
 
     return fn
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """videos(video_id, bytes, ...) -> VIDEO_FRAMES rows."""
+    return videos.select("video_id", "bytes").mapInPandas(
+        video_frame_sample_fn(every_n), VIDEO_FRAMES
+    )

@@ -1398,3 +1398,154 @@ QUERIES["running_total"] = running_total
 ORACLE["running_total"] = SQL_RUNNING_TOTAL
 QUERIES["exists_semijoin"] = exists_semijoin
 ORACLE["exists_semijoin"] = SQL_EXISTS
+
+
+# ---------------------------------------------------------------- video
+
+def _video_frame_px(i: int, f: int):
+    """Deterministic 8x8 RGB frame pixels for video i, frame f."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.uint64)
+    base = (np.add.outer(x * 7, x * 13) + i * 31 + f * 17) % 256
+    return np.stack([base, (base * 3) % 256, (base * 5) % 256], axis=-1).astype(np.uint8)
+
+
+def _video_bytes(i: int) -> bytes:
+    """Deterministic VMJ1 payload: 8 + (i%5) PNG frames."""
+    from .synth.png import encode_png
+    from .synth.video import encode_video
+
+    n = 8 + (i % 5)
+    return encode_video([encode_png(_video_frame_px(i, f)) for f in range(n)], fps=10)
+
+
+def video_frames_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Video multimodal path: demux the VMJ1 container, sample every 4th
+    frame, and run the sampled frames through the image-feature operator
+    (the composition a 100 TB video pipeline performs per clip). Output
+    is exact-integer (w, h, phash), so the oracle is a literal table
+    computed by the identical pure-Python demux+phash twin."""
+    import pandas as pd
+
+    from .operators.multimodal import (VIDEO_FRAMES, extract_image_features,
+                                       video_frame_sample_fn)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "video_id": [f"vid-{int(i):04d}" for i in pdf["id"]],
+                "bytes": [_video_bytes(int(i)) for i in pdf["id"]],
+            })
+
+    vids = spark.range(16).repartition(4).mapInPandas(
+        gen, "video_id string, bytes binary"
+    )
+    frames = vids.mapInPandas(video_frame_sample_fn(every_n=4), VIDEO_FRAMES)
+    stills = frames.select(
+        F.concat_ws("#", "video_id", F.col("frame_no").cast("string")).alias("image_id"),
+        F.col("frame_png").alias("bytes"),
+        F.lit("png").alias("fmt"),
+    )
+    return extract_image_features(stills).select("image_id", "w", "h", "phash")
+
+
+def _video_oracle_sql() -> str:
+    from .synth.phash import gray32, phash64_batch
+
+    vals = []
+    for i in range(16):
+        n = 8 + (i % 5)
+        for f in range(0, n, 4):
+            g = gray32(_video_frame_px(i, f))
+            ph = int(phash64_batch(g[None])[0])
+            vals.append(f"('vid-{i:04d}#{f}', 8, 8, CAST({ph} AS BIGINT))")
+    return ("SELECT * FROM (VALUES " + ", ".join(vals)
+            + ") AS t(image_id, w, h, phash)")
+
+
+QUERIES["video_frames"] = video_frames_q
+_LAZY_ORACLE["video_frames"] = _video_oracle_sql
+
+
+# ------------------------------------------------- image phash near-dup
+
+def _neardup_image_px(i: int, variant: str):
+    """Deterministic image pixels: variant 'a' = base; 'b' = near-dup of
+    base for even i (tiny luma perturbation), unrelated image for odd i."""
+    import numpy as np
+
+    from .synth.worldgen import make_image_pixels
+
+    if variant == "a":
+        return make_image_pixels(11, f"nd-{i}", (32,))
+    if i % 2 == 0:
+        px = make_image_pixels(11, f"nd-{i}", (32,)).astype(np.int32)
+        px[:4, :4] += 2  # imperceptible edit -> small phash Hamming drift
+        return np.clip(px, 0, 255).astype(np.uint8)
+    return make_image_pixels(11, f"nd-{i}-other", (32,))
+
+
+def _neardup_image_bytes(i: int, variant: str) -> bytes:
+    """'a' encodes PNG (lossless); 'b' encodes LJQ1 lossy — so the pair
+    detection also spans the codec boundary (PSNR>=40dB keeps phash
+    drift inside the band-join's Hamming budget)."""
+    from .synth.lossy import encode_lossy
+    from .synth.png import encode_png
+
+    px = _neardup_image_px(i, variant)
+    return encode_png(px) if variant == "a" else encode_lossy(px)
+
+
+def image_phash_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate detection — the core image-dedup operator of
+    a crawl pipeline: decode + phash via the production mapInPandas
+    operator, then pigeonhole band join on the 64-bit phash (never
+    all-pairs). Even-numbered pairs are near-dups across the PNG/lossy
+    codec boundary; odd-numbered pairs are unrelated."""
+    import pandas as pd
+
+    from .operators.multimodal import extract_image_features
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs, fmts = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                for v, fmt in (("a", "png"), ("b", "jpg")):
+                    ids.append(f"nd-{i:03d}-{v}")
+                    blobs.append(_neardup_image_bytes(i, v))
+                    fmts.append(fmt)
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs, "fmt": fmts})
+
+    imgs = spark.range(24).repartition(4).mapInPandas(
+        gen, "image_id string, bytes binary, fmt string"
+    )
+    feats = extract_image_features(imgs).select("image_id", "phash")
+    return D.signature_near_pairs(
+        feats, sig_col="phash", id_col="image_id", n_bits=64, max_hamming=6
+    ).select(
+        F.col("id_a").alias("image_a"), F.col("id_b").alias("image_b"), "hamming"
+    )
+
+
+def _image_phash_neardup_oracle_sql() -> str:
+    from .operators.multimodal import decode_image
+    from .synth.phash import gray32, phash64_batch
+
+    vals = []
+    for i in range(24):
+        for v, fmt in (("a", "png"), ("b", "jpg")):
+            px = decode_image(_neardup_image_bytes(i, v), fmt)
+            ph = int(phash64_batch(gray32(px)[None])[0])
+            vals.append(f"('nd-{i:03d}-{v}', CAST({ph} AS BIGINT))")
+    inner = ("SELECT * FROM (VALUES " + ", ".join(vals)
+             + ") AS t(image_id, phash)")
+    sql = D.signature_near_pairs_sql(
+        inner, sig_col="phash", id_col="image_id", n_bits=64, max_hamming=6
+    )
+    return (f"SELECT id_a AS image_a, id_b AS image_b, hamming FROM ({sql}) q")
+
+
+QUERIES["image_phash_neardup"] = image_phash_neardup_q
+_LAZY_ORACLE["image_phash_neardup"] = _image_phash_neardup_oracle_sql

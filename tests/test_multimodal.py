@@ -102,7 +102,40 @@ def test_audio_features_pcm16(spark):
     assert abs(out["rms"] - 10_000 / np.sqrt(2)) < 100
 
 
-def test_video_stub_contract(spark):
-    df = spark.createDataFrame([("v0", b"")], "video_id string, bytes binary")
-    with pytest.raises(Exception, match="video demux"):
+def test_video_unknown_container_raises(spark):
+    """Real-world MP4/WebM demux is offline-gated: a non-VMJ1 payload
+    raises with the schema contract intact."""
+    df = spark.createDataFrame([("v0", b"\x00\x00\x00\x18ftyp")],
+                               "video_id string, bytes binary")
+    with pytest.raises(Exception, match="VMJ1"):
         df.mapInPandas(M.video_frame_sample_fn(), M.VIDEO_FRAMES).collect()
+
+
+def test_video_demux_roundtrip():
+    from pushkind_crawlers_spark.synth.video import demux_video, encode_video
+
+    frames = [b"frame-%d" % i for i in range(7)]
+    blob = encode_video(frames, fps=24)
+    got, fps = demux_video(blob)
+    assert got == frames and fps == 24
+
+
+def test_video_frame_sampling_every_n(spark):
+    """12-frame clip sampled every 5 -> frames 0, 5, 10, byte-identical
+    to the encoder's payloads; sampled frames decode as images."""
+    from pushkind_crawlers_spark.synth.png import decode_png, encode_png
+    from pushkind_crawlers_spark.synth.video import encode_video
+
+    pxs = [np.full((4, 4, 3), 10 * f, dtype=np.uint8) for f in range(12)]
+    payloads = [encode_png(p) for p in pxs]
+    df = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v0"], "bytes": [encode_video(payloads)]}),
+        "video_id string, bytes binary",
+    )
+    rows = sorted(
+        M.sample_video_frames(df, every_n=5).collect(), key=lambda r: r["frame_no"]
+    )
+    assert [r["frame_no"] for r in rows] == [0, 5, 10]
+    for r in rows:
+        assert bytes(r["frame_png"]) == payloads[r["frame_no"]]
+        assert np.array_equal(decode_png(bytes(r["frame_png"])), pxs[r["frame_no"]])

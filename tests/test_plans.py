@@ -140,3 +140,16 @@ def test_host_splits_is_dataframe(spark):
     rows = {r["host"]: r["_splits"] for r in out.collect()}
     # ~83 rows/host -> 83//50 + 1 = 2 splits each, capped at 4
     assert rows == {"h0": 2, "h1": 2, "h2": 2}
+
+
+def test_image_phash_neardup_banded_join(spark):
+    """The image near-dup join is keyed on (band, band_val) — never
+    all-pairs, even though every phash pair could be compared."""
+    plan = _plan(spark, "image_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_frames_no_cartesian(spark):
+    plan = _plan(spark, "video_frames")
+    assert "CartesianProduct" not in plan

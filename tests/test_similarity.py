@@ -183,3 +183,41 @@ def test_dedup_clusters_groups_exact_dups(spark, docs):
     # 2 and 4 stay singletons
     assert out[2]["cluster_id"] == 2 and out[4]["cluster_id"] == 4
     assert out[2]["cluster_size"] == 1 and out[4]["is_rep"]
+
+
+def test_signature_near_pairs_pigeonhole(spark):
+    """Generic n-bit signature band join: pairs within the Hamming budget
+    are found (including negative 64-bit signatures), pairs beyond it are
+    never candidates unless a band collides exactly."""
+    def i64(v):  # wrap python's unbounded two's complement into int64
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = -6148914691236517206  # 0xAAAA... sign bit set
+    rows = [
+        ("s0", base),
+        ("s1", i64(base ^ 0b101)),            # hamming 2 -> found
+        ("s2", i64(base ^ ((1 << 63) | 1))),  # hamming 2 across the sign bit
+        ("s3", 81985529216486895),            # unrelated
+    ]
+    sig = spark.createDataFrame(rows, "id string, sig long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.signature_near_pairs(sig, max_hamming=3).collect()}
+    assert got[("s0", "s1")] == 2
+    assert got[("s0", "s2")] == 2
+    assert all("s3" not in k for k in got)
+
+
+def test_signature_near_pairs_matches_python_twin(spark):
+    """Exhaustive cross-check vs a brute-force python Hamming filter on a
+    deterministic signature set (no pair under the budget is missed —
+    the pigeonhole guarantee)."""
+    sigs = [(f"t{i:02d}", (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(32)]
+    sigs += [(f"t{i + 32:02d}", sigs[i][1] ^ (1 << (i % 60))) for i in range(8)]
+    sig = spark.createDataFrame(sigs, "id string, sig long")
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.signature_near_pairs(sig, max_hamming=3).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    want = {(a, b) for ai, (a, x) in enumerate(sigs) for (b, y) in sigs[ai + 1:]
+            if ham(x, y) <= 3}
+    assert got == want
