@@ -303,6 +303,21 @@ def scaling_worker(cpus: int, data_dir: str, out_dir: str) -> dict:
     dt = time.time() - t0
     out["dedup_anti"] = {"rows": DEDUP_CAND, "wall_s": round(dt, 2),
                          "cands_per_sec": round(DEDUP_CAND / dt, 1)}
+    # sidecar: the incrementally-maintained per-shard cuckoo filters
+    # (seen_mode="sidecar"). Build untimed — steady state carries the
+    # filters forward via update_cuckoo_sidecar of each round's delta —
+    # then time probe + exact confirm of positives + write.
+    from pushkind_crawlers_spark.operators.seen import (
+        build_cuckoo_sidecar, filter_new_urls_sidecar)
+
+    side_rows = build_cuckoo_sidecar(seen, n_shards=64).collect()
+    t0 = time.time()
+    filter_new_urls_sidecar(cand, seen, side_rows, n_shards=64,
+                            bloom=bloom).write.mode(
+        "overwrite").parquet(f"{out_dir}/new_sidecar")
+    dt = time.time() - t0
+    out["dedup_sidecar"] = {"rows": DEDUP_CAND, "wall_s": round(dt, 2),
+                            "cands_per_sec": round(DEDUP_CAND / dt, 1)}
 
     # --- component 3: image decode + phash -----------------------------
     # repartition: parquet coalesces the ~400MB input into a handful of
@@ -353,6 +368,7 @@ def _calib_unit(seed: int) -> int:
 COMPONENTS = (("sched_fetch", "urls_per_sec"),
               ("dedup", "cands_per_sec"),
               ("dedup_anti", "cands_per_sec"),
+              ("dedup_sidecar", "cands_per_sec"),
               ("decode", "imgs_per_sec"))
 
 
@@ -457,10 +473,16 @@ def scaling() -> None:
         "  ~1.7-3× faster wall on one box, but its runtime is dominated by",
         "  the fixed scan+write of the candidate set, so its 2→8 ratio reads",
         "  low — that is fixed-cost amortization, not a serial bottleneck.",
-        "  On a real cluster the cuckoo path additionally caches per-bucket",
-        "  filters across rounds atop a storage-partitioned seen table",
-        "  (never reshuffled, never rescanned), which a single JVM cannot",
-        "  express; the default flips accordingly (seen.py docstring).",
+        "- **dedup_sidecar**: `seen_mode=\"sidecar\"` — the cross-round",
+        "  cuckoo caching as CODE, not prose: per-shard filters maintained",
+        "  incrementally (update_cuckoo_sidecar of each round's delta),",
+        "  snapshot-committed with the round, rehydrated on resume. The",
+        "  timed section is the steady-state probe + exact confirm of the",
+        "  few filter positives + write; the seen table is never rescanned",
+        "  wholesale (it is only touched by the positives' anti-join, which",
+        "  at cluster scale is a storage-partitioned join against the",
+        "  bucketed seen table). Build is untimed — it happens once per",
+        "  RUN, not per round.",
         "- **decode**: PNG decode + batched-DCT phash over a binary image column",
         f"  ({DECODE_K:,} images).",
         "",

@@ -162,6 +162,20 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         self.count = 0
 
+    def to_bytes(self) -> bytes:
+        """Serialized slot table (n_buckets × SLOTS uint16, row-major)."""
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, count: int = 0) -> "CuckooFilter":
+        """Rehydrate a filter from :meth:`to_bytes` output."""
+        table = np.frombuffer(data, dtype=np.uint16).reshape(-1, cls.SLOTS).copy()
+        self = cls.__new__(cls)
+        self.n_buckets = table.shape[0]
+        self.table = table
+        self.count = int(count)
+        return self
+
     def _fp(self, h: np.ndarray) -> np.ndarray:
         fp = (_splitmix64(h.view(np.uint64)) & np.uint64(0xFFFF)).astype(np.uint16)
         return np.where(fp == 0, np.uint16(1), fp)
@@ -341,3 +355,159 @@ def filter_new_urls(
         .applyInPandas(confirm, schema=candidates.schema)
     )
     return fresh.select(cols).unionByName(survivors.select(cols))
+
+
+# ------------------------------------------------ cuckoo sidecar (cluster)
+
+# One row per shard of the seen set: the shard's cuckoo filter, maintained
+# INCREMENTALLY across rounds (cuckoo supports insert, unlike Bloom) and
+# snapshot-committed with the round — so a resumed run rehydrates the
+# filters instead of rebuilding them from the 10^10-row seen table. This
+# is the code form of the cluster design BENCH.md describes: per-round
+# dedup cost is probe + delta-insert; the seen table itself is neither
+# reshuffled nor rescanned (it is only touched by the exact confirm of
+# the few cuckoo-POSITIVE candidates, which at cluster scale is a
+# storage-partitioned join against the bucketed seen table).
+SIDECAR_SCHEMA = (
+    "shard int, words binary, count long, degraded boolean"
+)
+
+_SIDECAR_HEADROOM = 4.0
+
+
+def _shard_col(col: str, n_shards: int):
+    return F.pmod(F.col(col), F.lit(n_shards)).cast("int")
+
+
+def build_cuckoo_sidecar(seen: DataFrame, n_shards: int = 64,
+                         headroom: float = _SIDECAR_HEADROOM) -> DataFrame:
+    """One cuckoo filter per ``pmod(url_hash, n_shards)`` shard of the
+    seen table, built distributively (one applyInPandas task per shard).
+
+    ``headroom`` oversizes each filter so later incremental inserts do
+    not overflow it; a shard that ever fails an insert is flagged
+    ``degraded`` and its candidates fall back to the exact path. At
+    10^10 rows, scale ``n_shards`` with the table so each filter stays
+    ~100-300 MB (16 bits/key / 0.84 load)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        ck = CuckooFilter(capacity=max(int(len(keys) * headroom), 1024))
+        failures = ck.insert(keys)
+        return pd.DataFrame({
+            "shard": pd.array([shard], dtype="int32"),
+            "words": [ck.to_bytes()],
+            "count": pd.array([ck.count], dtype="int64"),
+            "degraded": [failures > 0],
+        })
+
+    return (
+        seen.select(_shard_col("url_hash", n_shards).alias("_shard"), "url_hash")
+        .groupBy("_shard")
+        .applyInPandas(build, schema=SIDECAR_SCHEMA)
+    )
+
+
+def update_cuckoo_sidecar(sidecar: DataFrame, delta: DataFrame,
+                          n_shards: int = 64,
+                          headroom: float = _SIDECAR_HEADROOM) -> DataFrame:
+    """Insert a round's new url_hash keys into the sidecar — the
+    steady-state per-round maintenance. Only the DELTA shuffles (plus the
+    O(n_shards)-row sidecar itself); shards with no new keys pass through
+    untouched, shards with no prior filter get a fresh one, and a filter
+    that overflows flips ``degraded`` (exactness is preserved by the
+    fallback in the probe path, never by trusting a lossy structure)."""
+
+    def upd(key, cand_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        # delta contract: keys not already in the filter; np.unique guards
+        # against within-batch repeats (double-insert bloats occupancy)
+        keys = (np.unique(cand_pdf["url_hash"].to_numpy(dtype=np.int64))
+                if len(cand_pdf) else np.zeros(0, dtype=np.int64))
+        if len(side_pdf):
+            ck = CuckooFilter.from_bytes(bytes(side_pdf["words"].iloc[0]),
+                                         int(side_pdf["count"].iloc[0]))
+            degraded = bool(side_pdf["degraded"].iloc[0])
+        else:
+            ck = CuckooFilter(capacity=max(int(len(keys) * headroom), 1024))
+            degraded = False
+        failures = ck.insert(keys) if len(keys) else 0
+        return pd.DataFrame({
+            "shard": pd.array([shard], dtype="int32"),
+            "words": [ck.to_bytes()],
+            "count": pd.array([ck.count], dtype="int64"),
+            "degraded": [degraded or failures > 0],
+        })
+
+    d = delta.select(_shard_col("url_hash", n_shards).alias("shard"), "url_hash")
+    return (
+        d.groupBy("shard")
+        .cogroup(sidecar.groupBy("shard"))
+        .applyInPandas(upd, schema=SIDECAR_SCHEMA)
+    )
+
+
+def sidecar_probe_udf(sidecar_rows, n_shards: int):
+    """Vectorized probe against collected sidecar rows (bounded: O(n_shards)
+    rows — config-sized, like the Bloom bitmap). Returns a pandas UDF
+    ``url_hash -> might_be_seen``; degraded or absent shards return True
+    (= route to the exact confirm), preserving exactness.
+
+    At filter sizes past broadcast limits (10^10 keys), probe via the
+    cogroup path in :func:`filter_new_urls` instead — same structure,
+    partitioned rather than broadcast."""
+    tables: dict[int, bytes] = {}
+    degraded: set[int] = set()
+    for r in sidecar_rows:
+        tables[int(r["shard"])] = bytes(r["words"])
+        if r["degraded"]:
+            degraded.add(int(r["shard"]))
+
+    @F.pandas_udf(BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
+        keys = h.to_numpy(dtype=np.int64)
+        shards = np.mod(keys, n_shards)  # pmod twin: int64 % positive
+        out = np.ones(len(keys), dtype=bool)  # default: maybe-seen (exact path)
+        for s in np.unique(shards):
+            s_i = int(s)
+            if s_i in degraded:
+                continue
+            m = shards == s
+            blob = tables.get(s_i)
+            if blob is None:
+                out[m] = False  # no filter -> shard has no seen keys
+            else:
+                ck = CuckooFilter.from_bytes(blob)
+                out[m] = ck.contains(keys[m])
+        return pd.Series(out)
+
+    return probe
+
+
+def filter_new_urls_sidecar(candidates: DataFrame, seen: DataFrame,
+                            sidecar_rows, n_shards: int = 64,
+                            bloom: NumpyBloom | None = None) -> DataFrame:
+    """Exact new-URL filter using the cuckoo sidecar as the membership
+    structure: Bloom fast path (optional) -> sidecar probe -> exact
+    anti-join confirm of ONLY the cuckoo-positive residue.
+
+    Equals a plain anti-join exactly (property-tested): cuckoo negatives
+    are trusted (no false negatives), positives are string-confirmed."""
+    flagged = candidates
+    if bloom is not None:
+        bprobe = bloom_probe_udf(bloom)
+        flagged = flagged.withColumn("_b", bprobe(F.col("url_hash")))
+        bloom_new = flagged.filter(~F.col("_b")).drop("_b")
+        flagged = flagged.filter(F.col("_b")).drop("_b")
+    probe = sidecar_probe_udf(sidecar_rows, n_shards)
+    marked = flagged.withColumn("_c", probe(F.col("url_hash")))
+    cuckoo_new = marked.filter(~F.col("_c")).drop("_c")
+    residue = marked.filter(F.col("_c")).drop("_c")
+    survivors = residue.join(
+        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+    )
+    out = cuckoo_new.unionByName(survivors)
+    if bloom is not None:
+        out = bloom_new.unionByName(out)
+    return out

@@ -51,7 +51,9 @@ from ..operators.priority import (
     parity_priority,
     priority_udf,
 )
-from ..operators.seen import NumpyBloom, add_to_bloom, filter_new_urls
+from ..operators.seen import (NumpyBloom, add_to_bloom, build_cuckoo_sidecar,
+                              filter_new_urls, filter_new_urls_sidecar,
+                              update_cuckoo_sidecar)
 from ..store.snapshots import SnapshotStore
 from ..synth.phash import gray32, phash64_batch
 from ..synth.worldgen import SyntheticWorld
@@ -182,6 +184,8 @@ class CrawlEngine:
         run_id: str | None = None,
         keep_images: bool = True,
         round_window_s: float | None = None,
+        seen_mode: str = "anti",
+        sidecar_shards: int = 32,
     ):
         self.spark = spark
         self.world = world
@@ -192,6 +196,16 @@ class CrawlEngine:
         self.use_robots = use_robots
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.keep_images = keep_images
+        # seen-filter strategy (axis A): "anti" = Bloom + JVM anti-join
+        # confirm (single-node optimal); "cuckoo" = per-bucket cogroup
+        # confirm; "sidecar" = incrementally-maintained per-shard cuckoo
+        # filters, snapshot-committed with the round (the cluster shape:
+        # per-round dedup never rescans the seen table except to
+        # string-confirm the few filter positives)
+        if seen_mode not in ("anti", "cuckoo", "sidecar"):
+            raise ValueError(f"seen_mode {seen_mode!r}")
+        self.seen_mode = seen_mode
+        self.sidecar_shards = sidecar_shards
         self.bloom: NumpyBloom | None = (
             NumpyBloom.sized_for(bloom_expected) if use_bloom else None
         )
@@ -224,6 +238,8 @@ class CrawlEngine:
             "crawl_order": schemas.CRAWL_ORDER,
             "lineage": schemas.LINEAGE,
         }
+        if self.seen_mode == "sidecar":
+            self._tables["seen_sidecar"] = schemas.SEEN_SIDECAR
         for name, schema in self._tables.items():
             self.store.table(name, schema)
         self._politeness = F.broadcast(
@@ -318,6 +334,10 @@ class CrawlEngine:
             "frontier": self.store.table("frontier").stage(frontier0),
             "seen": self.store.table("seen").stage(seen0),
         }
+        if self.seen_mode == "sidecar":
+            staged["seen_sidecar"] = self.store.table("seen_sidecar").stage(
+                build_cuckoo_sidecar(seen0, self.sidecar_shards)
+            )
         for name in ("results", "rejects", "images", "crawl_order", "lineage"):
             staged[name] = self.store.table(name).stage(
                 self.spark.createDataFrame([], self._tables[name])
@@ -461,13 +481,27 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # axis A: bloom fast path + anti-join confirm vs seen table; the
-        # surviving links are staged ONCE, then split against the robots
-        # rules table with a host-keyed semi/anti join (JVM startswith
+        # axis A: bloom fast path + seen-filter confirm; the surviving
+        # links are staged ONCE, then split against the robots rules
+        # table with a host-keyed semi/anti join (JVM startswith
         # predicate — no driver dict, no Python in the match)
-        new_links, _ = self._stage_df(
-            filter_new_urls(deduped, seen, self.bloom), round_no, "new_links"
-        )
+        if self.seen_mode == "sidecar":
+            # collect is O(n_shards) rows — config-sized, like the Bloom
+            # bitmap; rebuild-if-empty covers resume onto a store that
+            # predates the sidecar table
+            side_df = dfs["seen_sidecar"]
+            side_rows = side_df.collect()
+            if not side_rows:
+                side_df = build_cuckoo_sidecar(seen, self.sidecar_shards)
+                side_rows = side_df.collect()
+            self._sidecar_df = side_df
+            filtered = filter_new_urls_sidecar(
+                deduped, seen, side_rows, self.sidecar_shards, self.bloom
+            )
+        else:
+            filtered = filter_new_urls(deduped, seen, self.bloom,
+                                       confirm=self.seen_mode)
+        new_links, _ = self._stage_df(filtered, round_no, "new_links")
         allowed, robots_rejected = split_by_robots(new_links, self._robots_df)
 
         # ---- priority scoring (Arrow UDFs unless parity fast path) --------
@@ -561,6 +595,13 @@ class CrawlEngine:
             "crawl_order": order_rows,
             "lineage": lineage_new,
         }
+        if self.seen_mode == "sidecar":
+            # steady-state maintenance: insert only this round's delta
+            # keys into the per-shard filters; the full seen table is
+            # never rescanned. Overwrite-committed (O(n_shards) rows).
+            to_stage["seen_sidecar"] = update_cuckoo_sidecar(
+                self._sidecar_df, seen_add, self.sidecar_shards
+            )
         with ThreadPoolExecutor(max_workers=4) as ex:
             futs = {
                 name: ex.submit(self.store.table(name).stage, df)

@@ -211,3 +211,17 @@ VARIANT = T.StructType(
         T.StructField("price", T.DoubleType(), True),
     ]
 )
+
+
+# Cuckoo sidecar: one row per pmod(url_hash, n_shards) shard of the seen
+# set — the incrementally-maintained membership filters (operators/seen.py),
+# snapshot-committed with each round so resume rehydrates them instead of
+# rebuilding from the 10^10-row seen table.
+SEEN_SIDECAR = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("words", T.BinaryType(), False),
+        T.StructField("count", T.LongType(), False),
+        T.StructField("degraded", T.BooleanType(), False),
+    ]
+)

@@ -134,3 +134,31 @@ def test_no_url_fetched_twice(spark, crawl_pair):
     _, engine, _ = crawl_pair
     order = engine.store.table("crawl_order").read(spark)
     assert order.count() == order.select("url").distinct().count()
+
+
+def test_sidecar_mode_crawl_identical(spark, small_world, crawl_pair, tmp_path_factory):
+    """seen_mode='sidecar' (incrementally-maintained per-shard cuckoo
+    filters, snapshot-committed per round) reproduces the oracle crawl
+    bit-for-bit: same order, same seen set — the filter swap is invisible
+    to semantics, as the north rule requires."""
+    oracle, _, _ = crawl_pair
+    root = str(tmp_path_factory.mktemp("crawl_store_sidecar"))
+    engine = CrawlEngine(spark, small_world, root, use_bloom=True,
+                         use_robots=True, seen_mode="sidecar",
+                         sidecar_shards=8)
+    engine.run()
+    got = [
+        (r["seq"], r["round"], r["url"], r["depth"], r["ord"])
+        for r in engine.store.table("crawl_order").read(spark).orderBy("seq").collect()
+    ]
+    want = [(r["seq"], r["round"], r["url"], r["depth"], r["ord"]) for r in oracle.order]
+    assert got == want
+    seen = {r["url"]: r["discovered_round"]
+            for r in engine.store.table("seen").read(spark).collect()}
+    assert seen == oracle.seen
+    # the sidecar table is committed and loadable: one row per non-empty
+    # shard, none degraded at this scale
+    side = engine.store.table("seen_sidecar").read(spark).collect()
+    assert 0 < len(side) <= 8
+    assert not any(r["degraded"] for r in side)
+    assert sum(r["count"] for r in side) >= len(oracle.seen)

@@ -78,3 +78,79 @@ def test_filter_new_urls_exact(spark, confirm):
     want = {r["url"] for r in cand.join(seen.select("url"), "url", "left_anti").collect()}
     assert got == want
     assert len(got) == n_cand - n_seen
+
+
+# ------------------------------------------------ cuckoo sidecar (cluster)
+
+from pushkind_crawlers_spark.operators.seen import (  # noqa: E402
+    build_cuckoo_sidecar,
+    filter_new_urls_sidecar,
+    update_cuckoo_sidecar,
+)
+
+
+def _urls(spark, n, prefix="http://s"):
+    c = F.col("id")
+    return (
+        spark.range(n)
+        .select(F.concat(F.lit(prefix), (c % 8).cast("string"),
+                         F.lit(".test/p/"), c.cast("string")).alias("url"))
+        .select(F.xxhash64("url").alias("url_hash"), "url")
+    )
+
+
+def test_sidecar_filter_equals_anti_join(spark):
+    """Sidecar probe + exact confirm == plain anti-join (no false
+    negatives, positives string-confirmed), with and without Bloom."""
+    seen = _urls(spark, 30_000)
+    cand = _urls(spark, 60_000)
+    side = build_cuckoo_sidecar(seen, n_shards=16).collect()
+    want = {r["url"] for r in cand.join(seen.select("url"), "url", "left_anti").collect()}
+    got = {r["url"] for r in
+           filter_new_urls_sidecar(cand, seen, side, n_shards=16).collect()}
+    assert got == want
+    bloom = NumpyBloom.sized_for(30_000)
+    add_to_bloom(bloom, seen, "url_hash")
+    got_b = {r["url"] for r in
+             filter_new_urls_sidecar(cand, seen, side, n_shards=16,
+                                     bloom=bloom).collect()}
+    assert got_b == want
+
+
+def test_sidecar_incremental_update_equals_rebuild(spark):
+    """build(seen0) then update(delta) filters exactly like build(full):
+    the cross-round maintenance path is exact, not just the fresh build."""
+    full = _urls(spark, 40_000)
+    seen0 = full.filter(F.col("url_hash") % 3 != 0)
+    delta = full.filter(F.col("url_hash") % 3 == 0)
+    side0 = build_cuckoo_sidecar(seen0, n_shards=16)
+    side1 = update_cuckoo_sidecar(side0, delta, n_shards=16).collect()
+    cand = _urls(spark, 80_000)
+    want = {r["url"] for r in cand.join(full.select("url"), "url", "left_anti").collect()}
+    got = {r["url"] for r in
+           filter_new_urls_sidecar(cand, full, side1, n_shards=16).collect()}
+    assert got == want
+
+
+def test_sidecar_degraded_shard_stays_exact(spark):
+    """A filter forced to overflow flips `degraded`; its candidates fall
+    back to the exact confirm — the result never loses a URL."""
+    seen = _urls(spark, 20_000)
+    # headroom<1 undersizes every filter -> inserts fail -> degraded
+    side = build_cuckoo_sidecar(seen, n_shards=4, headroom=0.05).collect()
+    assert any(r["degraded"] for r in side)
+    cand = _urls(spark, 40_000)
+    want = {r["url"] for r in cand.join(seen.select("url"), "url", "left_anti").collect()}
+    got = {r["url"] for r in
+           filter_new_urls_sidecar(cand, seen, side, n_shards=4).collect()}
+    assert got == want
+
+
+def test_cuckoo_filter_bytes_roundtrip():
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 2**60, size=50_000, dtype=np.int64))
+    ck = CuckooFilter(capacity=len(keys) * 2)
+    assert ck.insert(keys) == 0
+    rt = CuckooFilter.from_bytes(ck.to_bytes(), ck.count)
+    assert rt.n_buckets == ck.n_buckets and rt.count == ck.count
+    assert (~rt.contains(keys)).sum() == 0
