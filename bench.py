@@ -164,7 +164,9 @@ DEDUP_SEEN = 6_000_000
 DEDUP_CAND = 24_000_000   # sized so per-job fixed latency is <5% of wall
 DECODE_K = 120_000
 SCALING_LEVELS = (2, 8, 32)
-SCALING_ITERS = 2
+# min-of-N per (component, level): host oversubscription noise is
+# one-sided, so more interleaved iterations tighten the estimate
+SCALING_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "3"))
 
 
 def fetch_world_cfg():

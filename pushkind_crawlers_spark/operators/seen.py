@@ -16,11 +16,22 @@ every round would shuffle the full candidate set against it; instead:
 
 2. **Per-partition cuckoo confirm** — the maybe-seen rows are cogrouped
    with the seen table on ``pmod(url_hash, n_buckets)``; each partition
-   builds (at scale: caches) a cuckoo filter of its seen bucket and probes
-   the candidates vectorized.  Cuckoo-negative is trusted new; cuckoo-
-   positive is confirmed against the exact bucket (hash64 collisions are
-   real at 10^10 rows — final equality is on the URL string, mirroring the
+   builds a cuckoo filter of its seen bucket and probes the candidates
+   vectorized.  Cuckoo-negative is trusted new; cuckoo-positive is
+   confirmed against the exact bucket (hash64 collisions are real at
+   10^10 rows — final equality is on the URL string, mirroring the
    reference's string-keyed HashSet at wintergreen.rs:176).
+
+3. **Cuckoo sidecar** (``build_cuckoo_sidecar`` et al., the cross-round
+   form of 2) — the per-shard filters live in their own O(n_shards)-row
+   table, maintained INCREMENTALLY: each round inserts only the delta
+   keys (cuckoo supports insert, which is why it is the per-shard
+   structure and Bloom is not), and the table snapshot-commits with the
+   round so resume rehydrates the filters instead of rebuilding them
+   from the seen table.  Steady-state per-round dedup = broadcast probe
+   + exact confirm of only the filter positives; the seen table is never
+   rescanned wholesale.  ``CrawlEngine(seen_mode="sidecar")`` wires it
+   into the crawl loop.
 
 Both structures are false-positive-only, so the result is exactly equal to
 a full anti-join — verified property-style in tests.
@@ -167,9 +178,17 @@ class CuckooFilter:
         return self.table.tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes, count: int = 0) -> "CuckooFilter":
-        """Rehydrate a filter from :meth:`to_bytes` output."""
-        table = np.frombuffer(data, dtype=np.uint16).reshape(-1, cls.SLOTS).copy()
+    def from_bytes(cls, data: bytes, count: int = 0,
+                   writable: bool = True) -> "CuckooFilter":
+        """Rehydrate a filter from :meth:`to_bytes` output.
+
+        ``writable=False`` wraps the bytes zero-copy (read-only view) —
+        the probe path only calls :meth:`contains`, and copying a
+        multi-MB slot table per Arrow batch is what turns a broadcast
+        probe memory-bandwidth-bound."""
+        table = np.frombuffer(data, dtype=np.uint16).reshape(-1, cls.SLOTS)
+        if writable:
+            table = table.copy()
         self = cls.__new__(cls)
         self.n_buckets = table.shape[0]
         self.table = table
@@ -448,11 +467,17 @@ def update_cuckoo_sidecar(sidecar: DataFrame, delta: DataFrame,
     )
 
 
-def sidecar_probe_udf(sidecar_rows, n_shards: int):
+def sidecar_probe_udf(sidecar_rows, n_shards: int,
+                      bloom: NumpyBloom | None = None):
     """Vectorized probe against collected sidecar rows (bounded: O(n_shards)
     rows — config-sized, like the Bloom bitmap). Returns a pandas UDF
     ``url_hash -> might_be_seen``; degraded or absent shards return True
     (= route to the exact confirm), preserving exactness.
+
+    When ``bloom`` is given, its probe runs in the SAME UDF pass (bloom
+    negatives short-circuit the cuckoo probe) — a separate Bloom column
+    would be re-evaluated once per union branch downstream, multiplying
+    the probe cost by the branch count.
 
     At filter sizes past broadcast limits (10^10 keys), probe via the
     cogroup path in :func:`filter_new_urls` instead — same structure,
@@ -463,22 +488,37 @@ def sidecar_probe_udf(sidecar_rows, n_shards: int):
         tables[int(r["shard"])] = bytes(r["words"])
         if r["degraded"]:
             degraded.add(int(r["shard"]))
+    bloom_state = (bloom.words, bloom.n_bits, bloom.n_hashes) if bloom else None
+    # rehydrated lazily ONCE per python worker (zero-copy read-only views
+    # over the serialized bytes) — per-batch from_bytes copies of multi-MB
+    # slot tables would make the probe memory-bandwidth-bound
+    filters: dict[int, CuckooFilter] = {}
 
     @F.pandas_udf(BooleanType())
     def probe(h: pd.Series) -> pd.Series:
         keys = h.to_numpy(dtype=np.int64)
-        shards = np.mod(keys, n_shards)  # pmod twin: int64 % positive
         out = np.ones(len(keys), dtype=bool)  # default: maybe-seen (exact path)
+        if bloom_state is not None:
+            bwords, bbits, bhashes = bloom_state
+            maybe = NumpyBloom(bbits, bhashes, bwords).might_contain(keys)
+        else:
+            maybe = np.ones(len(keys), dtype=bool)
+        out[~maybe] = False  # bloom-negative: trusted new
+        shards = np.mod(keys, n_shards)  # pmod twin: int64 % positive
+        shards = np.where(maybe, shards, -1)
         for s in np.unique(shards):
             s_i = int(s)
-            if s_i in degraded:
+            if s_i < 0 or s_i in degraded:
                 continue
             m = shards == s
             blob = tables.get(s_i)
             if blob is None:
                 out[m] = False  # no filter -> shard has no seen keys
             else:
-                ck = CuckooFilter.from_bytes(blob)
+                ck = filters.get(s_i)
+                if ck is None:
+                    ck = CuckooFilter.from_bytes(blob, writable=False)
+                    filters[s_i] = ck
                 out[m] = ck.contains(keys[m])
         return pd.Series(out)
 
@@ -489,25 +529,19 @@ def filter_new_urls_sidecar(candidates: DataFrame, seen: DataFrame,
                             sidecar_rows, n_shards: int = 64,
                             bloom: NumpyBloom | None = None) -> DataFrame:
     """Exact new-URL filter using the cuckoo sidecar as the membership
-    structure: Bloom fast path (optional) -> sidecar probe -> exact
-    anti-join confirm of ONLY the cuckoo-positive residue.
+    structure: one fused Bloom+sidecar probe pass -> exact anti-join
+    confirm of ONLY the filter-positive residue.
 
-    Equals a plain anti-join exactly (property-tested): cuckoo negatives
+    Equals a plain anti-join exactly (property-tested): filter negatives
     are trusted (no false negatives), positives are string-confirmed."""
-    flagged = candidates
-    if bloom is not None:
-        bprobe = bloom_probe_udf(bloom)
-        flagged = flagged.withColumn("_b", bprobe(F.col("url_hash")))
-        bloom_new = flagged.filter(~F.col("_b")).drop("_b")
-        flagged = flagged.filter(F.col("_b")).drop("_b")
-    probe = sidecar_probe_udf(sidecar_rows, n_shards)
-    marked = flagged.withColumn("_c", probe(F.col("url_hash")))
-    cuckoo_new = marked.filter(~F.col("_c")).drop("_c")
-    residue = marked.filter(F.col("_c")).drop("_c")
+    probe = sidecar_probe_udf(sidecar_rows, n_shards, bloom)
+    # persisted: the new/residue branches below would otherwise each
+    # re-evaluate the probe UDF over the full candidate set (union
+    # branches re-run their common subplan — no automatic reuse)
+    marked = candidates.withColumn("_m", probe(F.col("url_hash"))).persist()
+    new = marked.filter(~F.col("_m")).drop("_m")
+    residue = marked.filter(F.col("_m")).drop("_m")
     survivors = residue.join(
         seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
     )
-    out = cuckoo_new.unionByName(survivors)
-    if bloom is not None:
-        out = bloom_new.unionByName(out)
-    return out
+    return new.unionByName(survivors)

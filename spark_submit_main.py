@@ -33,6 +33,11 @@ def main(argv: list[str]) -> None:
     p.add_argument("--max-rounds", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--seen-mode", default="anti",
+                   choices=["anti", "cuckoo", "sidecar"],
+                   help="URL-seen confirm strategy (sidecar = "
+                        "incrementally-maintained per-shard cuckoo filters)")
+    p.add_argument("--sidecar-shards", type=int, default=32)
     args = p.parse_args(argv)
 
     # session comes from spark-submit (master/deploy-mode/conf on the CLI)
@@ -47,7 +52,9 @@ def main(argv: list[str]) -> None:
     world = SyntheticWorld(
         WorldConfig(seed=args.seed, n_hosts=args.hosts, budget_scale=args.budget_scale)
     )
-    engine = CrawlEngine(spark, world, args.store, run_id=args.run_id)
+    engine = CrawlEngine(spark, world, args.store, run_id=args.run_id,
+                         seen_mode=args.seen_mode,
+                         sidecar_shards=args.sidecar_shards)
     with RunLock(SnapshotStore(args.store)):  # G1/G2 single-writer guard
         run = engine.run(max_rounds=args.max_rounds, resume=args.resume)
     print(json.dumps({
