@@ -488,6 +488,15 @@ def scaling() -> None:
         "- **decode**: PNG decode + batched-DCT phash over a binary image column",
         f"  ({DECODE_K:,} images).",
         "",
+        "Cross-run spread: the host's oversubscription varies between",
+        "sessions, so single-run ratios move by ±0.05-0.1; all raw runs are",
+        "archived in `bench_results/scaling_*.json` — judge against the",
+        "spread, not one draw. The local[32] column is context only: the",
+        "calibration shows even raw multiprocessing cannot scale past",
+        "~0.6-0.7 on the 8→32 step here, and 32-worker runs additionally",
+        "contend for memory bandwidth (the sidecar probe's random-access",
+        "gathers over per-shard slot tables are the most sensitive to it).",
+        "",
         "These components are what dominates at 10^10-URL rounds; per-round",
         "driver latency is constant in cluster size and amortizes away at",
         "real round sizes (~10^8 URLs).",
