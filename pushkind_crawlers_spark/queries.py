@@ -1549,3 +1549,88 @@ def _image_phash_neardup_oracle_sql() -> str:
 
 QUERIES["image_phash_neardup"] = image_phash_neardup_q
 _LAZY_ORACLE["image_phash_neardup"] = _image_phash_neardup_oracle_sql
+
+
+# ------------------------------------------------ more analytic surface
+
+def lead_lag_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAD/LAG window functions: per-user inter-event gap in whole
+    seconds and the next event's type — the feed for sessionization and
+    funnel analysis. Whole-second epoch arithmetic (the same portable
+    trick events_sessionize uses) sidesteps NTZ-fractional divergence
+    between engines; the tz offset of the NTZ→timestamp cast cancels in
+    the difference."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return ev.select(
+        "event_id", "user_id",
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+SQL_LEAD_LAG = """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def pivot_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: revenue by order-year x order-priority (fixed column set, so
+    the plan is one partial-aggregable groupBy — no dynamic-pivot
+    discovery pass). The oracle is the portable CASE-aggregation twin."""
+    o = load(spark, sf, "orders")
+    pr = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aggs = [
+        F.round(F.sum(F.when(F.col("o_orderpriority") == p,
+                             F.col("o_totalprice")).otherwise(F.lit(0.0))), 2)
+        .alias(f"rev_{i + 1}")
+        for i, p in enumerate(pr)
+    ]
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year")).agg(*aggs)
+    )
+
+
+SQL_PIVOT = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       round(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS rev_1,
+       round(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END), 2) AS rev_2,
+       round(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END), 2) AS rev_3,
+       round(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice ELSE 0 END), 2) AS rev_4,
+       round(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END), 2) AS rev_5
+FROM orders GROUP BY 1
+"""
+
+
+def percent_rank_price(spark: SparkSession, sf: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST over part retail prices within brand."""
+    p = load(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_partkey", "p_brand",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_PERCENT_RANK = """
+SELECT p_partkey, p_brand,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+"""
+
+
+QUERIES["lead_lag_gap"] = lead_lag_gap
+ORACLE["lead_lag_gap"] = SQL_LEAD_LAG
+QUERIES["pivot_revenue"] = pivot_revenue
+ORACLE["pivot_revenue"] = SQL_PIVOT
+QUERIES["percent_rank_price"] = percent_rank_price
+ORACLE["percent_rank_price"] = SQL_PERCENT_RANK
