@@ -70,23 +70,32 @@ def exact_dedup_sql(table: str = "documents", text_expr: str = "text", id_col: s
 
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = SHINGLE_K) -> DataFrame:
-    """Word k-shingles per document: (doc_id, shingle), distinct."""
+    """Word k-shingles per document, HASHED to 60-bit longs at the map
+    side: (doc_id, shingle:long), distinct.
+
+    Hashing before the distinct means the dedup pipeline's shuffles and
+    joins carry 8-byte longs instead of multi-word strings — the
+    distinct, the minhash aggregation, and the Jaccard intersection join
+    are all keyed on the hash. Equality-on-hash equals equality-on-string
+    up to md5 collisions (≈ n²/2^61 — immaterial, and the SQL twin hashes
+    identically so both engines agree bit-for-bit)."""
     toks = tokens_col(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
+    hashed = F.transform(sh, lambda s: md5long(s))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(hashed).alias("shingle"))
         .distinct()
     )
 
 
 def shingles_sql(table: str = "documents", text_expr: str = "text",
                  id_col: str = "doc_id", k: int = SHINGLE_K) -> str:
+    h = md5long_sql(f"array_to_string(toks[i:i+{k - 1}], ' ')")
     return f"""
-    SELECT DISTINCT {id_col} AS doc_id,
-           array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+    SELECT DISTINCT {id_col} AS doc_id, {h} AS shingle
     FROM (SELECT {id_col}, list_filter(string_split({text_expr}, ' '), x -> x != '') AS toks
           FROM {table}),
          UNNEST(generate_series(1, greatest(len(toks) - {k - 1}, 0))) AS t(i)
@@ -142,8 +151,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     consts = _uh_consts(n_hashes)
     base = sh.select(
         "doc_id",
-        (md5long(F.col("shingle")).bitwiseAND(F.lit(_LO_MASK))).alias("lo"),
-        F.shiftright(md5long(F.col("shingle")), 30).alias("hi"),
+        (F.col("shingle").bitwiseAND(F.lit(_LO_MASK))).alias("lo"),
+        F.shiftright(F.col("shingle"), 30).alias("hi"),
     )
     aggs = [
         F.min(F.col("lo").bitwiseXOR(F.lit(a)) * F.lit(b)
@@ -163,7 +172,6 @@ def minhash_signatures_sql(table: str = "documents", text_expr: str = "text",
                            k: int = SHINGLE_K) -> str:
     sh = shingles_sql(table, text_expr, id_col, k)
     consts = _uh_consts(n_hashes)
-    b = md5long_sql("shingle")
     min_cols = ", ".join(
         f"min(xor(lo, {a}) * {bb} + xor(hi, {c}) * {d}) AS m{i}"
         for i, (a, bb, c, d) in enumerate(consts)
@@ -171,7 +179,7 @@ def minhash_signatures_sql(table: str = "documents", text_expr: str = "text",
     case = " ".join(f"WHEN {i} THEN m{i}" for i in range(n_hashes))
     return f"""
     WITH lohi AS (
-      SELECT doc_id, ({b}) & {_LO_MASK} AS lo, ({b}) >> 30 AS hi
+      SELECT doc_id, shingle & {_LO_MASK} AS lo, shingle >> 30 AS hi
       FROM ({sh}) s
     ), mins AS (
       SELECT doc_id, {min_cols} FROM lohi GROUP BY doc_id
