@@ -1634,3 +1634,54 @@ QUERIES["pivot_revenue"] = pivot_revenue
 ORACLE["pivot_revenue"] = SQL_PIVOT
 QUERIES["percent_rank_price"] = percent_rank_price
 ORACLE["percent_rank_price"] = SQL_PERCENT_RANK
+
+
+# ------------------------------------------- composed curation pipeline
+
+def corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship training-data curation pipeline, composed end-to-end
+    from the engine's own operators: quality/length filter (JVM column
+    exprs) -> MinHash-LSH candidates -> exact-Jaccard confirm ->
+    connected-components dedup clusters -> keep one representative per
+    cluster, output with its size and quality features. This is the
+    SHAPE of a 100 TB corpus-curation job: every stage is the
+    already-plan-audited operator, chained."""
+    docs = load(spark, sf, "documents")
+    filt = docs.filter(
+        (X.token_count_col(F.col("text")) >= 8)
+        & (X.quality_score_col(F.col("text")) >= 0.3)
+    ).select("doc_id", "text")
+    clusters = D.dedup_clusters(filt, threshold=0.2)
+    feats = filt.select(
+        "doc_id",
+        X.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        X.quality_score_col(F.col("text")).alias("quality"),
+    )
+    return (
+        clusters.filter(F.col("is_rep"))
+        .join(feats, "doc_id")
+        .select("doc_id", "cluster_size", "n_tokens", "quality")
+    )
+
+
+def _corpus_curation_sql() -> str:
+    filt = (f"(SELECT doc_id, text FROM documents "
+            f"WHERE {X.token_count_sql('text')} >= 8 "
+            f"AND {X.quality_score_sql('text')} >= 0.3) filt")
+    cl = D.dedup_clusters_sql(table=filt, threshold=0.2)
+    return f"""
+    WITH cl AS ({cl}), feats AS (
+      SELECT doc_id, CAST({X.token_count_sql('text')} AS BIGINT) AS n_tokens,
+             {X.quality_score_sql('text')} AS quality
+      FROM documents
+      WHERE {X.token_count_sql('text')} >= 8
+        AND {X.quality_score_sql('text')} >= 0.3
+    )
+    SELECT c.doc_id, c.cluster_size, f.n_tokens, f.quality
+    FROM cl c JOIN feats f ON f.doc_id = c.doc_id
+    WHERE c.is_rep
+    """
+
+
+QUERIES["corpus_curation"] = corpus_curation
+_LAZY_ORACLE["corpus_curation"] = _corpus_curation_sql
