@@ -153,3 +153,32 @@ def test_image_phash_neardup_banded_join(spark):
 def test_video_frames_no_cartesian(spark):
     plan = _plan(spark, "video_frames")
     assert "CartesianProduct" not in plan
+
+
+def test_sidecar_filter_plan_shape(spark):
+    """The sidecar seen-filter: one Arrow probe pass over a persisted
+    frame (both union branches read the cache, not re-run the UDF), the
+    residue confirmed by a hash anti-join — never a nested-loop."""
+    from pyspark.sql import functions as F
+
+    from pushkind_crawlers_spark.operators.seen import (
+        NumpyBloom, add_to_bloom, build_cuckoo_sidecar,
+        filter_new_urls_sidecar)
+
+    url = lambda c: F.concat(F.lit("http://h"), (c % 4).cast("string"),  # noqa: E731
+                             F.lit(".test/"), c.cast("string"))
+    seen = spark.range(2000).select(url(F.col("id")).alias("url")).select(
+        F.xxhash64("url").alias("url_hash"), "url")
+    cand = spark.range(4000).select(url(F.col("id")).alias("url")).select(
+        F.xxhash64("url").alias("url_hash"), "url")
+    bloom = NumpyBloom.sized_for(2000)
+    add_to_bloom(bloom, seen, "url_hash")
+    side = build_cuckoo_sidecar(seen, n_shards=8).collect()
+    out = filter_new_urls_sidecar(cand, seen, side, n_shards=8, bloom=bloom)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both branches read the cached probe (the plan PRINTS the cached
+    # subtree, ArrowEvalPython included, once per scan — but executes it
+    # once; InMemoryTableScan presence is the reuse evidence)
+    assert "InMemoryTableScan" in plan
