@@ -38,6 +38,16 @@ def main(argv: list[str]) -> None:
                    help="URL-seen confirm strategy (sidecar = "
                         "incrementally-maintained per-shard cuckoo filters)")
     p.add_argument("--sidecar-shards", type=int, default=32)
+    # the reference service dispatches three ZMQ message types
+    # (src/main.rs:57-102: Crawler / Benchmark / ProductCategoryMatch);
+    # --job is that dispatch surface as a CLI
+    p.add_argument("--job", default="crawl",
+                   choices=["crawl", "benchmark", "category"])
+    p.add_argument("--benchmark-id", type=int, default=1)
+    p.add_argument("--benchmark-prompt", default=None,
+                   help="prompt text for --job benchmark")
+    p.add_argument("--categories", default=None,
+                   help="'id:name,id:name' list for --job category")
     args = p.parse_args(argv)
 
     # session comes from spark-submit (master/deploy-mode/conf on the CLI)
@@ -48,6 +58,29 @@ def main(argv: list[str]) -> None:
     from pushkind_crawlers_spark.store.ops import RunLock
     from pushkind_crawlers_spark.store.snapshots import SnapshotStore
     from pushkind_crawlers_spark.synth.worldgen import SyntheticWorld, WorldConfig
+
+    if args.job == "benchmark":
+        from pushkind_crawlers_spark.plans.benchmark import run_benchmark_association
+
+        prompt = args.benchmark_prompt or f"benchmark {args.benchmark_id}"
+        out = run_benchmark_association(
+            spark, SnapshotStore(args.store), args.benchmark_id, prompt
+        )
+        print(json.dumps(out))
+        spark.stop()
+        return
+    if args.job == "category":
+        from pushkind_crawlers_spark.plans.category import run_category_match
+
+        pairs = [c.split(":", 1) for c in (args.categories or "1:default").split(",")]
+        cats = spark.createDataFrame(
+            [(int(i), n, None) for i, n in pairs],
+            "category_id int, name string, embedding array<float>",
+        )
+        out = run_category_match(spark, SnapshotStore(args.store), cats)
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     world = SyntheticWorld(
         WorldConfig(seed=args.seed, n_hosts=args.hosts, budget_scale=args.budget_scale)
