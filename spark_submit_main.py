@@ -24,7 +24,7 @@ import sys
 from pyspark.sql import SparkSession
 
 
-def main(argv: list[str]) -> None:
+def main(argv: list[str], _stop_session: bool = True) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--store", required=True, help="snapshot store root")
     p.add_argument("--seed", type=int, default=42)
@@ -67,7 +67,8 @@ def main(argv: list[str]) -> None:
             spark, SnapshotStore(args.store), args.benchmark_id, prompt
         )
         print(json.dumps(out))
-        spark.stop()
+        if _stop_session:
+            spark.stop()
         return
     if args.job == "category":
         from pushkind_crawlers_spark.plans.category import run_category_match
@@ -79,7 +80,8 @@ def main(argv: list[str]) -> None:
         )
         out = run_category_match(spark, SnapshotStore(args.store), cats)
         print(json.dumps(out))
-        spark.stop()
+        if _stop_session:
+            spark.stop()
         return
 
     world = SyntheticWorld(
@@ -101,7 +103,8 @@ def main(argv: list[str]) -> None:
             for m in run.metrics
         ],
     }))
-    spark.stop()
+    if _stop_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -136,3 +136,27 @@ def test_benchmark_job_respects_busy_flag(spark, store):
     except Boom:
         pass
     assert not RunLock(store, scope="benchmark-7").is_locked()
+
+
+def test_cli_dispatch_benchmark_and_category(spark, store, capsys):
+    """The reference's three ZMQ entry points map onto the spark-submit
+    CLI (--job); the benchmark and category jobs run in-process here
+    against the prepared store (crawl is E2E-covered elsewhere)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as M
+
+    M.main(["--store", store.root, "--job", "benchmark",
+            "--benchmark-id", "7", "--benchmark-prompt", _bench_prompt()],
+           _stop_session=False)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["benchmark_id"] == 7
+    assert out["associations"] == 4  # the 4 exact-prompt products pass 0.8
+
+    M.main(["--store", store.root, "--job", "category",
+            "--categories", "1:Чай / Зелёный,2:прочее"],
+           _stop_session=False)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total"] == 40
