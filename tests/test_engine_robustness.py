@@ -60,3 +60,23 @@ def test_targeted_refetch_f9(spark, tmp_path):
     # every valid product among the targets yields rows; no link expansion
     assert eng.store.table("frontier").read(spark).count() == 0
     assert {r["url"].split("#")[0] for r in results} <= set(urls)
+
+
+def test_seen_mode_upgrade_on_resume(spark, tmp_path):
+    """A store crawled partway in anti mode can be RESUMED in sidecar
+    mode: the sidecar rebuilds from the committed seen table (the
+    rebuild-if-empty path) and the finished crawl still equals the
+    oracle — the membership structure is an implementation detail, never
+    semantics."""
+    world = _tiny_world()
+    root = str(tmp_path / "up")
+    CrawlEngine(spark, world, root, seen_mode="anti", run_id="up").run(max_rounds=1)
+    eng2 = CrawlEngine(spark, world, root, seen_mode="sidecar",
+                       sidecar_shards=4, run_id="up")
+    eng2.run(resume=True)
+    oracle = OracleCrawler(world).run()
+    got = [r["url"] for r in
+           eng2.store.table("crawl_order").read(spark).orderBy("seq").collect()]
+    assert got == [o["url"] for o in oracle.order]
+    # the upgraded run committed a live sidecar for the NEXT resume
+    assert eng2.store.table("seen_sidecar").read(spark).count() > 0
