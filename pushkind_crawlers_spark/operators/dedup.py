@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CheckpointHandle, carry, release, scoped_persist
 from ..functions.text import md5long, md5long_sql, tokens_col
 
 N_MINHASHES = 8
@@ -205,16 +206,17 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     shingle explosion once, not once per join side (Spark does not reuse
     non-identical-alias subplans across a self-join).
     """
-    sig = minhash_signatures(docs, text_col, id_col, n_hashes, k,
-                             shingles_df=shingles_df).persist()
+    sig = scoped_persist(minhash_signatures(docs, text_col, id_col, n_hashes, k,
+                                            shingles_df=shingles_df))
     a = sig.alias("a")
     b = sig.alias("b")
-    return (
+    out = (
         a.join(b, on=["hash_idx", "minhash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return carry(out, sig)
 
 
 def lsh_candidate_pairs_sql(table: str = "documents", text_expr: str = "text",
@@ -300,9 +302,10 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     ).withColumn(
         "band_val",
         F.expr(f"shiftright(simhash, band * {band_w}) & {(1 << band_w) - 1}"),
-    ).persist()  # self-join: compute the token×bit aggregation once
+    )
+    banded = scoped_persist(banded)  # self-join: token×bit agg computed once
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(b, on=["band", "band_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -312,6 +315,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return carry(out, banded)
 
 
 def simhash_near_pairs_sql(table: str = "documents", text_expr: str = "text",
@@ -360,9 +364,10 @@ def signature_near_pairs(sig: DataFrame, sig_col: str = "sig",
     ).withColumn(
         "band_val",
         F.expr(f"shiftright(sig, band * {band_w}) & {mask}"),
-    ).persist()  # self-join: bucket each side once, not per alias
+    )
+    banded = scoped_persist(banded)  # self-join: bucket each side once
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(b, on=["band", "band_val"])
         .filter(F.col("a.sid") < F.col("b.sid"))
         .select(
@@ -372,6 +377,7 @@ def signature_near_pairs(sig: DataFrame, sig_col: str = "sig",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return carry(out, banded)
 
 
 def signature_near_pairs_sql(inner_sql: str, sig_col: str = "sig",
@@ -417,7 +423,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sides, the minhash signatures) — persisted so the explode runs once;
     at 100 TB both shingles and signatures are materialized tables.
     """
-    sh = shingles(docs, text_col, id_col, k).persist()
+    sh = scoped_persist(shingles(docs, text_col, id_col, k))
     cand = lsh_candidate_pairs(docs, text_col, id_col, n_hashes, k,
                                shingles_df=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -432,7 +438,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
@@ -442,6 +448,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return carry(out, sh, cand)
 
 
 def ngram_jaccard_pairs_sql(table: str = "documents", text_expr: str = "text",
@@ -526,11 +533,11 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
     # persisted: the bucket UDF is one matmul per Arrow batch, but a
     # self-join would run it once PER SIDE (no subplan reuse across
     # aliases); at 100 TB the bucket is a precomputed cluster column
-    sel = emb.select(
+    sel = scoped_persist(emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-    ).withColumn("blk", bucket(F.col("vec"))).persist()
+    ).withColumn("blk", bucket(F.col("vec"))))
     a, b = sel.alias("a"), sel.alias("b")
-    return (
+    out = (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.vid") < F.col("b.vid")])
         .select(
             F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
@@ -538,6 +545,7 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return carry(out, sel)
 
 
 def embedding_neardup_pairs_sql(table: str = "embeddings", vec_col: str = "embedding",
@@ -566,6 +574,14 @@ def embedding_neardup_pairs_sql(table: str = "embeddings", vec_col: str = "embed
 
 # ------------------------------------------------- dedup cluster assembly
 
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative fixpoint loop exits on its iteration cap
+    without converging — never return silently-wrong labels."""
+
+
+_CheckpointHandle = CheckpointHandle  # shared with ordering (caching.py)
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
                          max_iters: int = 25) -> DataFrame:
@@ -589,8 +605,16 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # Eager localCheckpoint per iteration, NOT persist: persist caches
+    # data but leaves the logical plan intact, and this loop's plan
+    # DOUBLES per iteration (new_lbl references lbl twice) — by ~12
+    # iterations the 2^k-node plan OOMs the driver just formatting
+    # explain strings. Checkpointing rebases each iteration's plan on the
+    # materialized RDD (the standard iterative-graph recipe); superseded
+    # checkpoints are dropped explicitly each round.
     lbl = nodes.select(F.col(id_col).alias("node"),
-                       F.col(id_col).alias("label")).persist()
+                       F.col(id_col).alias("label")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(lbl, edges.dst == lbl.node)
@@ -603,18 +627,31 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_lbl.alias("n").join(lbl.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1).count()
         )
-        lbl.unpersist()
+        _CheckpointHandle(lbl).unpersist()
         lbl = new_lbl
         if changed == 0:
+            converged = True
             break
-    return lbl.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if not converged:
+        # labels at this point LOOK valid but are wrong for any component
+        # deeper than max_iters — the silent-truncation class the brief
+        # bans. Fail loud; callers with genuinely deep graphs raise the
+        # cap (or drop in large-star/small-star contraction).
+        _CheckpointHandle(lbl).unpersist()
+        raise ConvergenceError(
+            f"connected_components: no fixpoint after {max_iters} iterations "
+            f"(a component has diameter > {max_iters}); raise max_iters"
+        )
+    out = lbl.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    setattr(out, "_persist_deps", [_CheckpointHandle(lbl)])
+    return out
 
 
 def dedup_clusters(docs: DataFrame, text_col: str = "text",
@@ -627,14 +664,18 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     cluster — the reference's first-wins generalized to content)."""
     pairs = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold, n_hashes)
     comp = connected_components(pairs, docs.select(id_col), id_col)
+    # CC's fixpoint loop has already materialized its final label frame,
+    # so the pair-generation caches are done serving reads — release now
+    release(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
+    out = (
         comp.join(sizes, "cluster_id")
         .select(
             id_col, "cluster_id", "cluster_size",
             (F.col(id_col) == F.col("cluster_id")).alias("is_rep"),
         )
     )
+    return carry(out, comp)
 
 
 def dedup_clusters_sql(table: str = "documents", text_expr: str = "text",

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import carry_checkpoint
+
 
 def global_sequence(
     df: DataFrame,
@@ -57,16 +59,18 @@ def global_sequence(
         off_df = F.broadcast(spark.createDataFrame(
             [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
         ))
-        return (
+        return carry_checkpoint(
             ranged.join(off_df, "_pid", "left")
             .withColumn(seq_col, F.row_number().over(w) + F.coalesce("_off", F.lit(0)))
-            .drop("_pid", "_off")
+            .drop("_pid", "_off"),
+            ranged,
         )
     off_col = F.coalesce(
         *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()],
         F.lit(0),
     ) if offsets else F.lit(0)
-    return (
+    return carry_checkpoint(
         ranged.withColumn(seq_col, F.row_number().over(w) + off_col)
-        .drop("_pid")
+        .drop("_pid"),
+        ranged,
     )

@@ -49,7 +49,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import BooleanType
+
+from ..caching import carry, scoped_persist
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -479,9 +482,10 @@ def sidecar_probe_udf(sidecar_rows, n_shards: int,
     would be re-evaluated once per union branch downstream, multiplying
     the probe cost by the branch count.
 
-    At filter sizes past broadcast limits (10^10 keys), probe via the
-    cogroup path in :func:`filter_new_urls` instead — same structure,
-    partitioned rather than broadcast."""
+    At filter sizes past broadcast limits (10^10 keys), use
+    :func:`filter_new_urls_sidecar_partitioned` instead — same structure,
+    partitioned rather than broadcast (the engine switches automatically
+    on total blob size)."""
     tables: dict[int, bytes] = {}
     degraded: set[int] = set()
     for r in sidecar_rows:
@@ -513,13 +517,18 @@ def sidecar_probe_udf(sidecar_rows, n_shards: int,
             m = shards == s
             blob = tables.get(s_i)
             if blob is None:
-                out[m] = False  # no filter -> shard has no seen keys
-            else:
-                ck = filters.get(s_i)
-                if ck is None:
-                    ck = CuckooFilter.from_bytes(blob, writable=False)
-                    filters[s_i] = ck
-                out[m] = ck.contains(keys[m])
+                # Absent shard: EITHER genuinely empty (build emits rows
+                # only for shards with keys) OR an incomplete/stale
+                # sidecar. Route to the exact confirm (out[m] stays True)
+                # — an empty shard makes that anti-join residue trivially
+                # small, and an incomplete sidecar then degrades to
+                # correctness instead of silent re-crawls (ADVICE r02).
+                continue
+            ck = filters.get(s_i)
+            if ck is None:
+                ck = CuckooFilter.from_bytes(blob, writable=False)
+                filters[s_i] = ck
+            out[m] = ck.contains(keys[m])
         return pd.Series(out)
 
     return probe
@@ -535,13 +544,77 @@ def filter_new_urls_sidecar(candidates: DataFrame, seen: DataFrame,
     Equals a plain anti-join exactly (property-tested): filter negatives
     are trusted (no false negatives), positives are string-confirmed."""
     probe = sidecar_probe_udf(sidecar_rows, n_shards, bloom)
-    # persisted: the new/residue branches below would otherwise each
+    # scoped persist: the new/residue branches below would otherwise each
     # re-evaluate the probe UDF over the full candidate set (union
-    # branches re-run their common subplan — no automatic reuse)
-    marked = candidates.withColumn("_m", probe(F.col("url_hash"))).persist()
+    # branches re-run their common subplan — no automatic reuse); the
+    # caller release()s after its terminal action (crawl round staging)
+    marked = scoped_persist(candidates.withColumn("_m", probe(F.col("url_hash"))))
     new = marked.filter(~F.col("_m")).drop("_m")
     residue = marked.filter(F.col("_m")).drop("_m")
     survivors = residue.join(
         seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
     )
-    return new.unionByName(survivors)
+    return carry(new.unionByName(survivors), marked)
+
+
+def filter_new_urls_sidecar_partitioned(
+    candidates: DataFrame, seen: DataFrame, sidecar: DataFrame,
+    n_shards: int = 64, bloom: NumpyBloom | None = None,
+) -> DataFrame:
+    """The at-scale form of :func:`filter_new_urls_sidecar`: past sane
+    closure/broadcast sizes (10^9+ seen keys -> filter blobs totalling
+    hundreds of MB), the filters are NOT collected to the driver — the
+    candidates cogroup with the O(n_shards)-row sidecar table on the
+    shard key, and each task probes its shard's filter locally.  One
+    extra shuffle of the (bloom-surviving) candidate residue, zero driver
+    memory in the filter size.  Exactness contract is identical: filter
+    negatives trusted, positives string-confirmed against ``seen``;
+    absent/degraded shards route to the exact confirm.
+    """
+    cols = candidates.columns
+    if bloom is not None:
+        bprobe = bloom_probe_udf(bloom)
+        flagged = scoped_persist(
+            candidates.withColumn("_maybe", bprobe(F.col("url_hash")))
+        )
+        fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+    else:
+        flagged = None
+        fresh = None
+        maybe = candidates
+
+    cand_s = maybe.withColumn("_shard", _shard_col("url_hash", n_shards))
+    side_s = sidecar.withColumn("_shard", F.col("shard"))
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("_m", T.BooleanType(), False)]
+    )
+
+    def probe_group(cand_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=[*cols, "_m"])
+        keys = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+        if len(side_pdf) == 0 or bool(side_pdf["degraded"].iloc[0]):
+            m = np.ones(len(keys), dtype=bool)  # exact-confirm route
+        else:
+            ck = CuckooFilter.from_bytes(bytes(side_pdf["words"].iloc[0]),
+                                         writable=False)
+            m = ck.contains(keys)
+        out = cand_pdf.drop(columns=["_shard"]).copy()
+        out["_m"] = m
+        return out
+
+    marked = scoped_persist(
+        cand_s.groupBy("_shard")
+        .cogroup(side_s.groupBy("_shard"))
+        .applyInPandas(probe_group, schema=out_schema)
+    )
+    new = marked.filter(~F.col("_m")).drop("_m")
+    residue = marked.filter(F.col("_m")).drop("_m")
+    survivors = residue.join(
+        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+    )
+    out = new.unionByName(survivors)
+    if fresh is not None:
+        out = carry(fresh.select(cols).unionByName(out.select(cols)), flagged)
+    return carry(out, marked)

@@ -51,8 +51,10 @@ from ..operators.priority import (
     parity_priority,
     priority_udf,
 )
+from ..caching import carry, release
 from ..operators.seen import (NumpyBloom, add_to_bloom, build_cuckoo_sidecar,
                               filter_new_urls, filter_new_urls_sidecar,
+                              filter_new_urls_sidecar_partitioned,
                               update_cuckoo_sidecar)
 from ..store.snapshots import SnapshotStore
 from ..synth.phash import gray32, phash64_batch
@@ -186,6 +188,7 @@ class CrawlEngine:
         round_window_s: float | None = None,
         seen_mode: str = "anti",
         sidecar_shards: int = 32,
+        sidecar_broadcast_max_bytes: int = 64 << 20,
     ):
         self.spark = spark
         self.world = world
@@ -206,6 +209,11 @@ class CrawlEngine:
             raise ValueError(f"seen_mode {seen_mode!r}")
         self.seen_mode = seen_mode
         self.sidecar_shards = sidecar_shards
+        # past this total filter-blob size the sidecar probe switches from
+        # driver-collected broadcast to the partitioned cogroup path
+        # (VERDICT r02 "wrong" #3: at 10^9+ seen keys the blobs total
+        # hundreds of MB — beyond sane closure/broadcast size)
+        self.sidecar_broadcast_max_bytes = sidecar_broadcast_max_bytes
         self.bloom: NumpyBloom | None = (
             NumpyBloom.sized_for(bloom_expected) if use_bloom else None
         )
@@ -414,13 +422,14 @@ class CrawlEngine:
         # ---- crawl-order seq (range-partitioned global numbering — no
         # single-reducer sort; see operators/ordering.py) ------------------
         seq_base = int(state.get("seq_base", 0))
-        order_rows = global_sequence(
+        seq_df = global_sequence(
             scheduled.select("url_hash", "url", "host", "depth", "ord"),
             ["depth", "ord"], base=seq_base,
-        ).select(
+        )
+        order_rows = carry(seq_df.select(
             "seq", F.lit(round_no).alias("round"),
             "url_hash", "url", "host", "depth", "ord",
-        )
+        ), seq_df)
 
         # ---- fetch stage (mapInPandas over frontier partitions) ----------
         # Budget truncation leaves the batch partitioned by (host, salt) —
@@ -486,22 +495,39 @@ class CrawlEngine:
         # table with a host-keyed semi/anti join (JVM startswith
         # predicate — no driver dict, no Python in the match)
         if self.seen_mode == "sidecar":
-            # collect is O(n_shards) rows — config-sized, like the Bloom
-            # bitmap; rebuild-if-empty covers resume onto a store that
-            # predates the sidecar table
             side_df = dfs["seen_sidecar"]
-            side_rows = side_df.collect()
-            if not side_rows:
-                side_df = build_cuckoo_sidecar(seen, self.sidecar_shards)
-                side_rows = side_df.collect()
+            # Staleness guard (ADVICE r02): rounds committed under
+            # seen_mode='anti' leave the run manifest with NO
+            # 'seen_sidecar' snapshot id, so _read_state fell back to the
+            # table's 'current' pointer — possibly an OLDER sidecar-mode
+            # run whose filters lack newer seen keys (probe false
+            # negatives -> re-crawled duplicates). Rebuild from the seen
+            # snapshot this round actually reads whenever the manifest
+            # lacks the sidecar entry, not merely when the table is empty.
+            sizing = (F.count(F.lit(1)).alias("n"),
+                      F.coalesce(F.sum(F.length("words")), F.lit(0)).alias("blob_bytes"))
+            stats = side_df.agg(*sizing).first()
+            if "seen_sidecar" not in state["snapshot_ids"] or stats["n"] == 0:
+                rebuilt = build_cuckoo_sidecar(seen, self.sidecar_shards)
+                side_df, _ = self._stage_df(rebuilt, round_no, "sidecar_rebuilt")
+                stats = side_df.agg(*sizing).first()
             self._sidecar_df = side_df
-            filtered = filter_new_urls_sidecar(
-                deduped, seen, side_rows, self.sidecar_shards, self.bloom
-            )
+            if stats["blob_bytes"] > self.sidecar_broadcast_max_bytes:
+                # filters too big to ship via closure: partitioned probe
+                filtered = filter_new_urls_sidecar_partitioned(
+                    deduped, seen, side_df, self.sidecar_shards, self.bloom
+                )
+            else:
+                # collect is O(n_shards) rows — config-sized broadcast
+                filtered = filter_new_urls_sidecar(
+                    deduped, seen, side_df.collect(), self.sidecar_shards,
+                    self.bloom,
+                )
         else:
             filtered = filter_new_urls(deduped, seen, self.bloom,
                                        confirm=self.seen_mode)
         new_links, _ = self._stage_df(filtered, round_no, "new_links")
+        release(filtered)  # probe caches served their terminal write
         allowed, robots_rejected = split_by_robots(new_links, self._robots_df)
 
         # ---- priority scoring (Arrow UDFs unless parity fast path) --------
@@ -608,6 +634,7 @@ class CrawlEngine:
                 for name, df in to_stage.items()
             }
             staged = {name: f.result() for name, f in futs.items()}
+        release(order_rows)  # crawl_order staged: drop the seq checkpoint
         staged["results"] = results_staged  # written once, earlier
         m.results_rows = staged["results"][1]
         # remaining metrics from the staged lineage files (driver-side read)

@@ -160,3 +160,29 @@ def test_cli_dispatch_benchmark_and_category(spark, store, capsys):
            _stop_session=False)
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["total"] == 40
+
+
+def test_benchmark_job_leaves_other_benchmarks_untouched(spark, store):
+    """The memoization write-back is a MERGE point update (P6), not a
+    table rewrite: pre-existing benchmark rows survive the commit
+    bit-for-bit (reference anchor src/repository/benchmark.rs:29-47)."""
+    bench_t = store.table("benchmarks", schemas.BENCHMARKS)
+    other = (3, "Name: другой эталон\nSKU: BM-3", [0.5, 0.25, 0.125])
+    stale = (9, "Name: без вектора", None)
+    bench_t.commit(spark.createDataFrame([other, stale], schemas.BENCHMARKS))
+
+    out = run_benchmark_association(spark, store, 7, _bench_prompt(), k=10)
+    assert out["bench_embedded"] is True
+
+    rows = {r["benchmark_id"]: r for r in bench_t.read(spark).collect()}
+    assert set(rows) == {3, 7, 9}
+    assert rows[3]["prompt"] == other[1]
+    assert [float(x) for x in rows[3]["embedding"]] == other[2]
+    assert rows[9]["prompt"] == stale[1] and rows[9]["embedding"] is None
+    assert rows[7]["embedding"] is not None
+
+    # memoized rerun: no new benchmarks snapshot at all
+    sid = bench_t.current_snapshot_id()
+    out2 = run_benchmark_association(spark, store, 7, _bench_prompt(), k=10)
+    assert out2["bench_embedded"] is False
+    assert bench_t.current_snapshot_id() == sid

@@ -80,3 +80,68 @@ def test_seen_mode_upgrade_on_resume(spark, tmp_path):
     assert got == [o["url"] for o in oracle.order]
     # the upgraded run committed a live sidecar for the NEXT resume
     assert eng2.store.table("seen_sidecar").read(spark).count() > 0
+
+
+def test_stale_sidecar_invalidated_on_mode_switch_resume(spark, tmp_path):
+    """ADVICE r02 (medium): sidecar round -> anti-mode rounds -> sidecar
+    resume. The anti rounds leave run manifests with NO seen_sidecar
+    snapshot id while the sidecar table's 'current' pointer still holds
+    the round-1 filters — STALE (missing the anti rounds' seen keys).
+    The engine must rebuild (manifest-key check, not just empty-check);
+    trusting the stale filters would re-crawl seen URLs and append
+    duplicates to seen."""
+    world = _tiny_world()
+    root = str(tmp_path / "stale")
+    CrawlEngine(spark, world, root, seen_mode="sidecar", sidecar_shards=4,
+                run_id="st").run(max_rounds=1)
+    CrawlEngine(spark, world, root, seen_mode="anti",
+                run_id="st").run(max_rounds=2, resume=True)
+    eng3 = CrawlEngine(spark, world, root, seen_mode="sidecar",
+                       sidecar_shards=4, run_id="st")
+    eng3.run(resume=True)
+    oracle = OracleCrawler(world).run()
+    seen_rows = eng3.store.table("seen").read(spark).collect()
+    urls = [r["url"] for r in seen_rows]
+    assert len(urls) == len(set(urls)), "duplicate seen rows (stale sidecar)"
+    assert {r["url"]: r["discovered_round"] for r in seen_rows} == oracle.seen
+    got = [r["url"] for r in
+           eng3.store.table("crawl_order").read(spark).orderBy("seq").collect()]
+    assert got == [o["url"] for o in oracle.order]
+
+
+def test_partitioned_sidecar_probe_full_parity(spark, tmp_path):
+    """sidecar_broadcast_max_bytes=0 forces the at-scale cogroup probe
+    (filters never collected to the driver) on EVERY round; the crawl
+    still equals the oracle bit-for-bit."""
+    world = _tiny_world()
+    eng = CrawlEngine(spark, world, str(tmp_path / "part"),
+                      seen_mode="sidecar", sidecar_shards=4,
+                      sidecar_broadcast_max_bytes=0)
+    eng.run()
+    oracle = OracleCrawler(world).run()
+    got = [r["url"] for r in
+           eng.store.table("crawl_order").read(spark).orderBy("seq").collect()]
+    assert got == [o["url"] for o in oracle.order]
+    seen = {r["url"]: r["discovered_round"]
+            for r in eng.store.table("seen").read(spark).collect()}
+    assert seen == oracle.seen
+
+
+def test_crawl_releases_caches_between_rounds(spark, tmp_path):
+    """Unpersist discipline (VERDICT r02 "wrong" #2): a multi-round crawl
+    leaves the persistent-RDD count where it started — per-round probe
+    caches are released after the round's terminal write."""
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    world = _tiny_world()
+    for mode, extra in (("anti", {}), ("sidecar", {"sidecar_shards": 4}),
+                        ("sidecar", {"sidecar_shards": 4,
+                                     "sidecar_broadcast_max_bytes": 0})):
+        base = n_persistent()
+        eng = CrawlEngine(spark, world, str(tmp_path / f"c-{mode}-{len(extra)}"),
+                          seen_mode=mode, **extra)
+        run = eng.run()
+        assert run.rounds >= 3
+        assert n_persistent() <= base, mode

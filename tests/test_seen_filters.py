@@ -154,3 +154,58 @@ def test_cuckoo_filter_bytes_roundtrip():
     rt = CuckooFilter.from_bytes(ck.to_bytes(), ck.count)
     assert rt.n_buckets == ck.n_buckets and rt.count == ck.count
     assert (~rt.contains(keys)).sum() == 0
+
+
+def test_sidecar_partitioned_probe_equals_anti_join(spark):
+    """The at-scale cogroup probe (filters never collected to the driver)
+    is exactly the anti-join, with and without the Bloom fast path."""
+    from pushkind_crawlers_spark.operators.seen import (
+        filter_new_urls_sidecar_partitioned,
+    )
+
+    seen = _urls(spark, 30_000)
+    cand = _urls(spark, 60_000)
+    side = build_cuckoo_sidecar(seen, n_shards=16)
+    want = {r["url"] for r in cand.join(seen.select("url"), "url", "left_anti").collect()}
+    got = {r["url"] for r in
+           filter_new_urls_sidecar_partitioned(cand, seen, side, n_shards=16).collect()}
+    assert got == want
+    bloom = NumpyBloom.sized_for(30_000)
+    add_to_bloom(bloom, seen, "url_hash")
+    got_b = {r["url"] for r in
+             filter_new_urls_sidecar_partitioned(cand, seen, side, n_shards=16,
+                                                 bloom=bloom).collect()}
+    assert got_b == want
+
+
+def test_sidecar_partitioned_degraded_and_absent_shards_stay_exact(spark):
+    """Cogroup probe: degraded shards AND shards missing from the sidecar
+    route to the exact confirm — an incomplete sidecar degrades to
+    correctness, never to re-crawls."""
+    from pushkind_crawlers_spark.operators.seen import (
+        filter_new_urls_sidecar_partitioned,
+    )
+
+    seen = _urls(spark, 20_000)
+    side = build_cuckoo_sidecar(seen, n_shards=8, headroom=0.05)
+    assert any(r["degraded"] for r in side.collect())
+    # drop half the shards: an incomplete sidecar (stale-resume shape)
+    partial = side.filter(F.col("shard") % 2 == 0)
+    cand = _urls(spark, 40_000)
+    want = {r["url"] for r in cand.join(seen.select("url"), "url", "left_anti").collect()}
+    got = {r["url"] for r in
+           filter_new_urls_sidecar_partitioned(cand, seen, partial, n_shards=8).collect()}
+    assert got == want
+
+
+def test_sidecar_broadcast_absent_shard_routes_to_exact(spark):
+    """Broadcast probe twin of the above: rows collected from an
+    incomplete sidecar still yield exactly the anti-join."""
+    seen = _urls(spark, 20_000)
+    side = build_cuckoo_sidecar(seen, n_shards=8)
+    partial = [r for r in side.collect() if r["shard"] % 2 == 0]
+    cand = _urls(spark, 40_000)
+    want = {r["url"] for r in cand.join(seen.select("url"), "url", "left_anti").collect()}
+    got = {r["url"] for r in
+           filter_new_urls_sidecar(cand, seen, partial, n_shards=8).collect()}
+    assert got == want

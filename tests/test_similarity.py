@@ -221,3 +221,49 @@ def test_signature_near_pairs_matches_python_twin(spark):
     want = {(a, b) for ai, (a, x) in enumerate(sigs) for (b, y) in sigs[ai + 1:]
             if ham(x, y) <= 3}
     assert got == want
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    """A component deeper than max_iters must FAIL LOUD, not return
+    labels that look valid but are wrong (VERDICT r02 "wrong" #4)."""
+    import pytest as _pytest
+
+    from pushkind_crawlers_spark.operators.dedup import ConvergenceError
+
+    # path graph 0-1-2-...-9: diameter 9 > max_iters=3
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a int, doc_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id int")
+    with _pytest.raises(ConvergenceError, match="no fixpoint after 3"):
+        D.connected_components(pairs, nodes, max_iters=3)
+    # and a sufficient cap converges to the single chain cluster
+    from pushkind_crawlers_spark.caching import release
+
+    cc = D.connected_components(pairs, nodes, max_iters=12)
+    out = {r["doc_id"]: r["cluster_id"] for r in cc.collect()}
+    release(cc)
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_operator_caches_are_releasable(spark, docs):
+    """Every self-join operator registers its persisted intermediates for
+    scoped release: after release() the persistent-RDD count returns to
+    its pre-call level (VERDICT r02 "wrong" #2 unpersist discipline)."""
+    from pushkind_crawlers_spark.caching import release
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    for make in (
+        lambda: D.lsh_candidate_pairs(docs),
+        lambda: D.simhash_near_pairs(docs),
+        lambda: D.ngram_jaccard_pairs(docs, threshold=0.2),
+        lambda: D.dedup_clusters(docs, threshold=0.2),
+    ):
+        df = make()
+        df.count()  # terminal action materializes the caches
+        release(df)
+        # <=: earlier tests' lingering frames may be GC-cleaned mid-run
+        assert n_persistent() <= base, make
