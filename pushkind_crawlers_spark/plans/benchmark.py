@@ -37,7 +37,7 @@ from ..operators.similarity import (
     hash_embed_udf,
     prompt_col,
 )
-from ..store.ops import RunLock, merge_upsert
+from ..store.ops import RunLock, hub_crawlers, merge_upsert, set_embeddings
 from ..store.snapshots import SnapshotStore
 
 
@@ -48,26 +48,45 @@ def run_benchmark_association(
     benchmark_prompt: str,
     k: int = 10,
     threshold: float = SIM_THRESHOLD,
+    hub_id: int | None = None,
 ) -> dict:
-    """One full E6 job against the store; returns run metrics."""
+    """One full E6 job against the store; returns run metrics.
+
+    ``hub_id`` scopes the job to that hub's crawlers via the crawlers
+    dimension (the reference lists hub crawlers at benchmark.rs:98-104):
+    only their products are embedded and associated; other hubs' rows are
+    untouched. None = the whole store (single-hub default)."""
     lock = RunLock(store, scope=f"benchmark-{benchmark_id}")
     with lock:
         results_t = store.table("results", schemas.RESULTS)
         results = results_t.read(spark)
-        n_missing = results.filter(F.col("embedding").isNull()).count()
+        hub = hub_crawlers(spark, store, hub_id)
+        scoped = results if hub is None else results.join(hub, "crawler_id", "semi")
+        n_missing = scoped.filter(F.col("embedding").isNull()).count()
 
         # E3 memoized fill over the S7 prompt, persisted back (P6) so the
         # next run embeds nothing.
-        prompts = results.withColumn(
+        prompts = scoped.withColumn(
             "prompt",
             prompt_col(
                 F.col("name"), F.col("sku"), F.col("category"), F.col("units"),
                 F.col("price"), F.col("amount"), F.col("description"),
             ),
         )
-        filled = fill_missing_embeddings(prompts).drop("prompt")
-        results_t.commit(filled)
+        if hub is None:
+            filled = fill_missing_embeddings(prompts).drop("prompt")
+            results_t.commit(filled)
+        else:
+            # hub-scoped: embed only the hub's missing rows and MERGE them
+            # back as a P6 point update — other hubs' rows stream through
+            embed = hash_embed_udf()
+            new_embs = prompts.filter(F.col("embedding").isNull()).select(
+                "url", embed(F.col("prompt")).alias("embedding")
+            )
+            results_t.commit(set_embeddings(results, new_embs))
         products = results_t.read(spark)
+        if hub is not None:
+            products = products.join(hub, "crawler_id", "semi")
 
         # memoized benchmark embedding: POINT lookup of the one row (the
         # reference's get_benchmark, src/repository/benchmark.rs:13-25) —

@@ -33,9 +33,11 @@ from ..operators.similarity import (
     SIM_THRESHOLD,
     category_top1_assignment,
     fill_missing_embeddings,
+    hash_embed_udf,
     prompt_col,
 )
-from ..store.ops import RunLock, assign_categories_guarded
+from ..store.ops import (RunLock, assign_categories_guarded, hub_crawlers,
+                         set_embeddings)
 from ..store.snapshots import SnapshotStore
 
 
@@ -44,25 +46,42 @@ def run_category_match(
     store: SnapshotStore,
     categories: DataFrame,
     threshold: float = SIM_THRESHOLD,
+    hub_id: int | None = None,
 ) -> dict:
     """One full E7 job against the store; returns the reference's stats
     counters. ``categories``: (category_id int, name string,
-    embedding array<float> nullable)."""
-    with RunLock(store, scope="hub"):
+    embedding array<float> nullable).
+
+    ``hub_id`` scopes the whole job — lock, embedding fill, assignment,
+    stats — to that hub's crawlers (the reference's hub-wide lock +
+    list_crawlers, category.rs:109-171); other hubs' rows are never
+    touched and other hubs can run concurrently. None = whole store."""
+    with RunLock(store, scope="hub" if hub_id is None else f"hub-{hub_id}"):
         results_t = store.table("results", schemas.RESULTS)
         results = results_t.read(spark)
-        n_missing = results.filter(F.col("embedding").isNull()).count()
+        hub = hub_crawlers(spark, store, hub_id)
+        scoped = results if hub is None else results.join(hub, "crawler_id", "semi")
+        n_missing = scoped.filter(F.col("embedding").isNull()).count()
 
-        prompts = results.withColumn(
+        prompts = scoped.withColumn(
             "prompt",
             prompt_col(
                 F.col("name"), F.col("sku"), F.col("category"), F.col("units"),
                 F.col("price"), F.col("amount"), F.col("description"),
             ),
         )
-        filled = fill_missing_embeddings(prompts).drop("prompt")
-        results_t.commit(filled)
-        products = results_t.read(spark)
+        if hub is None:
+            filled = fill_missing_embeddings(prompts).drop("prompt")
+            results_t.commit(filled)
+        else:
+            embed = hash_embed_udf()
+            new_embs = prompts.filter(F.col("embedding").isNull()).select(
+                "url", embed(F.col("prompt")).alias("embedding")
+            )
+            results_t.commit(set_embeddings(results, new_embs))
+        products_all = results_t.read(spark)
+        products = (products_all if hub is None
+                    else products_all.join(hub, "crawler_id", "semi"))
 
         # category embeddings: prompt is the NAME alone (category.rs:16-18)
         cats = fill_missing_embeddings(
@@ -73,11 +92,15 @@ def run_category_match(
             products.select("url", "embedding"), cats, threshold=threshold
         ).select("url", "category_id")
 
-        merged = assign_categories_guarded(products, assignment)
+        # the merge runs over the FULL table but assignments only name
+        # hub urls, so non-hub rows pass through bit-for-bit
+        merged = assign_categories_guarded(products_all, assignment)
         results_t.commit(merged)
         out = results_t.read(spark)
+        if hub is not None:
+            out = out.join(hub, "crawler_id", "semi")
 
-        # stats counters (category.rs:20-31)
+        # stats counters (category.rs:20-31), hub-scoped when requested
         agg = out.agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(F.when(F.col("category_assignment_source") == "automatic", 1)

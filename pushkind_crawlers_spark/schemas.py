@@ -156,6 +156,18 @@ BENCHMARK_STATS = T.StructType(
     ]
 )
 
+# The reference's Crawler entity (src/repository/crawler.rs:10-37):
+# crawlers belong to hubs, and benchmark/category jobs are scoped by
+# hub_id via list_crawlers(hub_id) — products inherit their hub through
+# crawler_id, so multi-tenant isolation needs no column on results.
+CRAWLERS = T.StructType(
+    [
+        T.StructField("crawler_id", T.IntegerType(), False),
+        T.StructField("hub_id", T.IntegerType(), False),
+        T.StructField("selector", T.StringType(), True),
+    ]
+)
+
 RUNS = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),

@@ -62,6 +62,21 @@ def list_products(results: DataFrame, images: DataFrame,
     return r.drop("image_ids").join(assembled, "url", "left")
 
 
+def hub_crawlers(spark: SparkSession, store: SnapshotStore,
+                 hub_id: int | None) -> DataFrame | None:
+    """P7: ``list_crawlers(hub_id)`` (crawler.rs:21-37) as the hub-scope
+    dimension — a broadcastable (crawler_id) frame, or None when no hub
+    scoping is requested (single-hub store, the engine's default)."""
+    if hub_id is None:
+        return None
+    from .. import schemas
+
+    crawlers = store.table("crawlers", schemas.CRAWLERS).read(spark)
+    return F.broadcast(
+        crawlers.filter(F.col("hub_id") == hub_id).select("crawler_id")
+    )
+
+
 def merge_upsert(base: DataFrame, batch: DataFrame, keys: list[str],
                  update_cols: list[str] | None = None) -> DataFrame:
     """MERGE: matched rows take the batch's values, unmatched batch rows

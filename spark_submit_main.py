@@ -38,6 +38,11 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
                    help="URL-seen confirm strategy (sidecar = "
                         "incrementally-maintained per-shard cuckoo filters)")
     p.add_argument("--sidecar-shards", type=int, default=32)
+    p.add_argument("--urls", default=None,
+                   help="comma-separated URL list: targeted re-fetch of "
+                        "exactly these pages instead of seed expansion "
+                        "(the reference's partial run, "
+                        "src/processing/crawler.rs:67-79)")
     # the reference service dispatches three ZMQ message types
     # (src/main.rs:57-102: Crawler / Benchmark / ProductCategoryMatch);
     # --job is that dispatch surface as a CLI
@@ -48,6 +53,10 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
                    help="prompt text for --job benchmark")
     p.add_argument("--categories", default=None,
                    help="'id:name,id:name' list for --job category")
+    p.add_argument("--hub-id", type=int, default=None,
+                   help="scope benchmark/category jobs to one hub's "
+                        "crawlers (crawlers table; src/repository/"
+                        "crawler.rs:21-37)")
     args = p.parse_args(argv)
 
     # session comes from spark-submit (master/deploy-mode/conf on the CLI)
@@ -64,7 +73,8 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
 
         prompt = args.benchmark_prompt or f"benchmark {args.benchmark_id}"
         out = run_benchmark_association(
-            spark, SnapshotStore(args.store), args.benchmark_id, prompt
+            spark, SnapshotStore(args.store), args.benchmark_id, prompt,
+            hub_id=args.hub_id,
         )
         print(json.dumps(out))
         if _stop_session:
@@ -78,7 +88,8 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
             [(int(i), n, None) for i, n in pairs],
             "category_id int, name string, embedding array<float>",
         )
-        out = run_category_match(spark, SnapshotStore(args.store), cats)
+        out = run_category_match(spark, SnapshotStore(args.store), cats,
+                                 hub_id=args.hub_id)
         print(json.dumps(out))
         if _stop_session:
             spark.stop()
@@ -87,7 +98,10 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
     world = SyntheticWorld(
         WorldConfig(seed=args.seed, n_hosts=args.hosts, budget_scale=args.budget_scale)
     )
+    seeds = ([u for u in args.urls.split(",") if u]
+             if args.urls is not None else None)
     engine = CrawlEngine(spark, world, args.store, run_id=args.run_id,
+                         seeds=seeds,
                          seen_mode=args.seen_mode,
                          sidecar_shards=args.sidecar_shards)
     with RunLock(SnapshotStore(args.store)):  # G1/G2 single-writer guard

@@ -145,3 +145,32 @@ def test_crawl_releases_caches_between_rounds(spark, tmp_path):
         run = eng.run()
         assert run.rounds >= 3
         assert n_persistent() <= base, mode
+
+
+def test_cli_targeted_refetch_urls_flag(spark, tmp_path, capsys):
+    """--urls a,b,c on the submit CLI is the reference's partial run
+    (src/processing/crawler.rs:67-79): fetch exactly those pages, parity
+    vs the oracle given the same explicit seed list."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as M
+
+    world = _tiny_world()
+    hc = world.host_config("site0.test")
+    urls = [world.product_url("site0.test", pid)
+            for pid in range(min(3, hc.n_products))]
+    M.main(["--store", str(tmp_path / "cli-urls"), "--seed", "5",
+            "--hosts", "1", "--budget-scale", "10",
+            "--urls", ",".join(urls)], _stop_session=False)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["urls_scheduled"] == len(urls)
+    assert out["rounds"] == 1
+
+    from pushkind_crawlers_spark.store.snapshots import SnapshotStore
+    st = SnapshotStore(str(tmp_path / "cli-urls"))
+    order = [r["url"] for r in
+             st.table("crawl_order").read(spark).orderBy("seq").collect()]
+    oracle = OracleCrawler(world, seeds=urls).run()
+    assert order == [o["url"] for o in oracle.order]

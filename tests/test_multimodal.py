@@ -42,8 +42,68 @@ def test_thumbnails_roundtrip(spark, images_df):
 
 
 def test_unknown_format_is_gated():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"RIFFxxxxWEBP", fmt="webp")
+    M.set_image_decoder(None)  # force the no-library branch
+    try:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"RIFFxxxxWEBP", fmt="webp")
+    finally:
+        M.reset_image_decoder()
+
+
+def test_real_codec_probe_dispatch():
+    """The runtime probe routes real-world containers to an injected
+    decoder while the built-in PNG/LJQ1 codecs keep their payloads —
+    a cluster build with PIL installed changes zero code."""
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    assert M.sniff_format(jpeg) == "jpeg"
+    assert M.sniff_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert M.sniff_format(b"GIF89a\x01") == "gif"
+
+    fake_px = np.full((4, 6, 3), 7, dtype=np.uint8)
+    seen = []
+    M.set_image_decoder(lambda data: (seen.append(data), fake_px)[1])
+    try:
+        out = M.decode_image(jpeg, "jpeg")
+        assert out.shape == (4, 6, 3) and seen == [jpeg]
+        # LJQ1 payloads still decode via the built-in codec, NOT the
+        # injected real decoder (magic-based dispatch)
+        ljq1 = make_image_bytes(7, "probe-img", (16,), fmt="jpg")
+        M.decode_image(ljq1, "jpg")
+        assert len(seen) == 1
+    finally:
+        M.reset_image_decoder()
+
+
+def test_real_audio_probe_dispatch(spark):
+    """WAV-magic payloads route to the injected audio decoder; raw PCM16
+    keeps the built-in path; no library + container magic raises."""
+    import struct
+
+    pcm = (np.sin(np.arange(1600) / 10.0) * 1000).astype("<i2")
+    wav = b"RIFF" + struct.pack("<I", 36 + pcm.nbytes) + b"WAVEfakehdr " + pcm.tobytes()
+
+    M.set_audio_decoder(lambda data: (pcm.astype(np.float64), 16_000))
+    try:
+        df = spark.createDataFrame(
+            [("wav-1", bytearray(wav)), ("raw-1", bytearray(pcm.tobytes()))],
+            "audio_id string, bytes binary",
+        )
+        rows = {r["audio_id"]: r for r in
+                df.mapInPandas(M.audio_features_fn(), M.AUDIO_FEATURES).collect()}
+        assert rows["wav-1"]["duration_s"] == pytest.approx(0.1)
+        assert rows["raw-1"]["duration_s"] == pytest.approx(0.1)
+        assert rows["wav-1"]["rms"] == pytest.approx(rows["raw-1"]["rms"])
+    finally:
+        M.reset_audio_decoder()
+
+    M.set_audio_decoder(None)
+    try:
+        df1 = spark.createDataFrame([("wav-1", bytearray(wav))],
+                                    "audio_id string, bytes binary")
+        with pytest.raises(Exception, match="NotImplementedError|not available"):
+            df1.mapInPandas(M.audio_features_fn(), M.AUDIO_FEATURES).collect()
+    finally:
+        M.reset_audio_decoder()
 
 
 def test_lossy_roundtrip_psnr(spark):
