@@ -102,13 +102,16 @@ def run_crawl(cpus: int, store_root: str) -> dict:
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from pushkind_crawlers_spark.caching import release
     from pushkind_crawlers_spark.queries import QUERIES
 
     out = {}
     for name in HEADLINE_QUERIES:
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
         out[name] = round(time.time() - t0, 3)
+        release(df)  # each query pays (and frees) its own caches
     return out
 
 

@@ -4,12 +4,10 @@ sorted column names, and the order-insensitive multiset of values."""
 
 from __future__ import annotations
 
-import math
-
-import duckdb
 import pytest
 
-from pushkind_crawlers_spark.queries import QUERIES, TABLES, full_oracle
+from pushkind_crawlers_spark.gatecheck import duck_connect, rows_to_multiset
+from pushkind_crawlers_spark.queries import QUERIES, full_oracle
 
 ORACLE = full_oracle()
 
@@ -18,27 +16,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con = duck_connect(SF_DIR)
     yield con
     con.close()
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # kill -0.0 and represent with enough digits to catch real drift
-        return f"{v + 0.0:.9g}"
-    if isinstance(v, bool):
-        return str(v)
-    return str(v)
-
-
-def _rows_to_multiset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+_rows_to_multiset = rows_to_multiset
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
