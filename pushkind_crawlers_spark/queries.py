@@ -1685,3 +1685,152 @@ def _corpus_curation_sql() -> str:
 
 QUERIES["corpus_curation"] = corpus_curation
 _LAZY_ORACLE["corpus_curation"] = _corpus_curation_sql
+
+
+# --------------------------------------- temporal joins (asof / range)
+
+def asof_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest click
+    at-or-before it (classic event attribution). Spark has no ASOF JOIN
+    builtin — operators/temporal.py re-expresses it as union + one
+    window pass over the join key: ONE shuffle, no non-equi nested
+    loop. Tie-break pinned to (ts DESC, event_id DESC)."""
+    from .operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(purchases, clicks, key="user_id", time_col="ts",
+                    right_cols=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        F.round("value", 4).alias("value"),
+        F.col("event_id_asof").alias("click_id"),
+    )
+
+
+SQL_ASOF = """
+SELECT l.event_id, l.user_id,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+       round(l.value, 4) AS value, r2.click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT r.event_id AS click_id
+  FROM events r
+  WHERE r.event_type = 'click' AND r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) r2 ON TRUE
+"""
+
+
+def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (time-window) self-join: ordered pairs of same-user events
+    within 30 minutes — burst/funnel detection. Blocked on coarse time
+    buckets (operators/temporal.py): the join shuffles on
+    (user, bucket), never a per-user nested loop."""
+    from .operators.temporal import range_self_join
+
+    ev = load(spark, sf, "events")
+    return range_self_join(ev, key="user_id", time_col="ts",
+                           id_col="event_id", band_s=1800)
+
+
+def _range_join_sql() -> str:
+    from .operators.temporal import range_self_join_sql
+
+    return range_self_join_sql("events", key="user_id", time_col="ts",
+                               id_col="event_id", band_s=1800)
+
+
+QUERIES["asof_join_attribution"] = asof_join_attribution
+ORACLE["asof_join_attribution"] = SQL_ASOF
+QUERIES["range_join_events"] = range_join_events
+_LAZY_ORACLE["range_join_events"] = _range_join_sql
+
+
+# ------------------------- deterministic sampling + tf-idf top terms
+
+def sample_by_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-mod sampling — the training-data staple for
+    reproducible splits/shards: md5-hash the key, keep buckets 0-2 of
+    10. Pure JVM exprs; the SAME rows come out at any parallelism, any
+    engine (the md5long twin is bit-identical on DuckDB)."""
+    docs = load(spark, sf, "documents")
+    bucket = F.pmod(X.md5long(F.col("doc_id").cast("string")), F.lit(10))
+    return (
+        docs.withColumn("bucket", bucket.cast("int"))
+        .filter(F.col("bucket") < 3)
+        .select("doc_id", "lang", "n_chars", "bucket")
+    )
+
+
+def _sample_by_hash_sql() -> str:
+    h = X.md5long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(({h}) % 10 AS INT) AS bucket
+    FROM documents
+    WHERE ({h}) % 10 < 3
+    """
+
+
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf (linear idf N/df, not log —
+    ln() differs in the last ulp across engines and would make ranking
+    nondeterministic; the linear variant is exact IEEE division on both).
+    Scores are rounded to 4dp BEFORE ranking so both engines rank
+    identical values; ties break on the term string."""
+    docs = load(spark, sf, "documents")
+    n_docs = docs.count()  # O(1) driver scalar, footer-countable at scale
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens_col(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "tok").withColumn(
+        "tfidf",
+        F.round((F.col("tf") * F.lit(float(n_docs))) / F.col("df"), 4),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round((tf.tf * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)) / df.df, 4) AS tfidf
+  FROM tf JOIN df ON df.tok = tf.tok
+)
+SELECT doc_id, tok, tfidf, rank FROM (
+  SELECT doc_id, tok, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+QUERIES["sample_by_hash"] = sample_by_hash
+_LAZY_ORACLE["sample_by_hash"] = _sample_by_hash_sql
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+ORACLE["tfidf_top_terms"] = SQL_TFIDF
