@@ -189,6 +189,7 @@ class CrawlEngine:
         seen_mode: str = "anti",
         sidecar_shards: int = 32,
         sidecar_broadcast_max_bytes: int = 64 << 20,
+        expire_keep_last: int | None = None,
     ):
         self.spark = spark
         self.world = world
@@ -214,6 +215,14 @@ class CrawlEngine:
         # (VERDICT r02 "wrong" #3: at 10^9+ seen keys the blobs total
         # hundreds of MB — beyond sane closure/broadcast size)
         self.sidecar_broadcast_max_bytes = sidecar_broadcast_max_bytes
+        # retention: a crawl of thousands of rounds otherwise accumulates
+        # snapshot records (each append snapshot lists every prior data
+        # dir -> manifest JSON grows O(rounds^2)) and per-round staged
+        # intermediates under _work (O(rounds) disk). N = keep the last N
+        # rounds' snapshots + staging dirs after each commit; None = keep
+        # everything (time travel / debugging). Resume only ever reads
+        # the LAST committed round, so any N >= 1 is resume-safe.
+        self.expire_keep_last = expire_keep_last
         self.bloom: NumpyBloom | None = (
             NumpyBloom.sized_for(bloom_expected) if use_bloom else None
         )
@@ -658,7 +667,28 @@ class CrawlEngine:
         )
         if self.bloom is not None:
             add_to_bloom(self.bloom, seen_add, "url_hash")
+        if self.expire_keep_last is not None:
+            self._expire(round_no)
         return m
+
+    def _expire(self, round_no: int) -> None:
+        """Bound retention after a commit: expire old table snapshots
+        (GCs data dirs no kept snapshot references — e.g. superseded
+        frontier overwrites) and drop staged intermediates of rounds
+        older than the window."""
+        import glob as _glob
+        import shutil as _shutil
+
+        for name in self._tables:
+            self.store.table(name).expire_snapshots(self.expire_keep_last)
+        keep = {
+            f"round-{r:06d}"
+            for r in range(max(1, round_no - self.expire_keep_last + 1),
+                           round_no + 1)
+        }
+        for d in _glob.glob(os.path.join(self._work, "round-*")):
+            if os.path.basename(d) not in keep:
+                _shutil.rmtree(d, ignore_errors=True)
 
     # ------------------------------------------------------------------
 

@@ -53,6 +53,10 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
                    help="prompt text for --job benchmark")
     p.add_argument("--categories", default=None,
                    help="'id:name,id:name' list for --job category")
+    p.add_argument("--expire-keep-last", type=int, default=None,
+                   help="retain only the last N rounds' snapshots and "
+                        "staging dirs (long-crawl retention; default: "
+                        "keep everything)")
     p.add_argument("--hub-id", type=int, default=None,
                    help="scope benchmark/category jobs to one hub's "
                         "crawlers (crawlers table; src/repository/"
@@ -103,7 +107,8 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
     engine = CrawlEngine(spark, world, args.store, run_id=args.run_id,
                          seeds=seeds,
                          seen_mode=args.seen_mode,
-                         sidecar_shards=args.sidecar_shards)
+                         sidecar_shards=args.sidecar_shards,
+                         expire_keep_last=args.expire_keep_last)
     with RunLock(SnapshotStore(args.store)):  # G1/G2 single-writer guard
         run = engine.run(max_rounds=args.max_rounds, resume=args.resume)
     print(json.dumps({

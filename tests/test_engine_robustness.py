@@ -174,3 +174,60 @@ def test_cli_targeted_refetch_urls_flag(spark, tmp_path, capsys):
              st.table("crawl_order").read(spark).orderBy("seq").collect()]
     oracle = OracleCrawler(world, seeds=urls).run()
     assert order == [o["url"] for o in oracle.order]
+
+
+def test_expire_keep_last_bounds_retention(spark, tmp_path):
+    """Long-crawl retention: expire_keep_last bounds per-table snapshot
+    history AND the _work staging dirs, while the crawl still equals the
+    oracle and the store still resumes (resume only reads the LAST
+    committed round)."""
+    import glob
+    import os
+
+    world = _tiny_world()
+    root = str(tmp_path / "gc")
+    eng = CrawlEngine(spark, world, root, expire_keep_last=2)
+    run = eng.run()
+    assert run.rounds >= 3
+    oracle = OracleCrawler(world).run()
+    got = [r["url"] for r in
+           eng.store.table("crawl_order").read(spark).orderBy("seq").collect()]
+    assert got == [o["url"] for o in oracle.order]
+    seen = {r["url"]: r["discovered_round"]
+            for r in eng.store.table("seen").read(spark).collect()}
+    assert seen == oracle.seen
+
+    for name in ("frontier", "seen", "results", "crawl_order"):
+        snaps = eng.store.table(name).snapshots()
+        assert len(snaps) <= 3, name  # keep_last=2 (+ current overlap)
+    work_rounds = glob.glob(os.path.join(root, "_work", "round-*"))
+    assert len(work_rounds) <= 2, work_rounds
+
+    # resume on the GC'd store: a fresh engine reads the last committed
+    # round and terminates cleanly (frontier empty)
+    eng2 = CrawlEngine(spark, world, root, expire_keep_last=2)
+    run2 = eng2.run(resume=True)
+    assert run2.rounds == 0
+    seen2 = {r["url"]: r["discovered_round"]
+             for r in eng2.store.table("seen").read(spark).collect()}
+    assert seen2 == oracle.seen
+
+
+def test_expire_mid_run_resume(spark, tmp_path):
+    """Interrupt a GC'd crawl after 2 rounds and resume: final state
+    equals the uninterrupted run."""
+    world = _tiny_world()
+    r_full = str(tmp_path / "full")
+    CrawlEngine(spark, world, r_full).run()
+    want = {r["url"]: r["discovered_round"]
+            for r in CrawlEngine(spark, world, r_full).store
+            .table("seen").read(spark).collect()}
+
+    r_gc = str(tmp_path / "gc2")
+    CrawlEngine(spark, world, r_gc, expire_keep_last=1,
+                run_id="gc").run(max_rounds=2)
+    eng = CrawlEngine(spark, world, r_gc, expire_keep_last=1, run_id="gc")
+    eng.run(resume=True)
+    got = {r["url"]: r["discovered_round"]
+           for r in eng.store.table("seen").read(spark).collect()}
+    assert got == want
