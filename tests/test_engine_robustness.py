@@ -231,3 +231,20 @@ def test_expire_mid_run_resume(spark, tmp_path):
     got = {r["url"]: r["discovered_round"]
            for r in eng.store.table("seen").read(spark).collect()}
     assert got == want
+
+
+def test_cuckoo_mode_crawl_identical(spark, tmp_path):
+    """seen_mode='cuckoo' (per-bucket cogroup confirm — the cluster-only
+    strategy) reproduces the oracle crawl bit-for-bit, like anti and
+    sidecar modes: the confirm strategy is an implementation detail,
+    never semantics."""
+    world = _tiny_world()
+    eng = CrawlEngine(spark, world, str(tmp_path / "ck"), seen_mode="cuckoo")
+    eng.run()
+    oracle = OracleCrawler(world).run()
+    got = [r["url"] for r in
+           eng.store.table("crawl_order").read(spark).orderBy("seq").collect()]
+    assert got == [o["url"] for o in oracle.order]
+    seen = {r["url"]: r["discovered_round"]
+            for r in eng.store.table("seen").read(spark).collect()}
+    assert seen == oracle.seen
