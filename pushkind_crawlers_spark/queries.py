@@ -1834,3 +1834,103 @@ QUERIES["sample_by_hash"] = sample_by_hash
 _LAZY_ORACLE["sample_by_hash"] = _sample_by_hash_sql
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
 ORACLE["tfidf_top_terms"] = SQL_TFIDF
+
+
+# --------------------------------- more classic analytic shapes (r03)
+
+def q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    fact joins narrowed by the return flag, broadcast nation dim, top-20
+    by rounded revenue with a key tie-break (the q3 determinism
+    pattern)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load(spark, sf, "nation"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a big aggregation (orders whose total
+    quantity exceeds a threshold), then the customer join — the
+    aggregate prunes before the join. Quantities are whole numbers, so
+    double summation is exact in any order (no rounding hazard)."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+    )
+
+
+SQL_Q18 = """
+SELECT c_custkey, c_name, l_orderkey,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250.0
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS anti-join: customers with no '1-URGENT' order — the
+    complement of exists_semijoin; pure key comparison, no floats.
+    (Unlike "no orders at all", this set is non-empty at every SF.)"""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+               "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_NO_URGENT = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+QUERIES["q10_returned_revenue"] = q10_returned_revenue
+ORACLE["q10_returned_revenue"] = SQL_Q10
+QUERIES["q18_large_orders"] = q18_large_orders
+ORACLE["q18_large_orders"] = SQL_Q18
+QUERIES["customers_without_urgent_orders"] = customers_without_urgent_orders
+ORACLE["customers_without_urgent_orders"] = SQL_NO_URGENT

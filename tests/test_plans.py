@@ -86,7 +86,9 @@ def test_text_ops_stay_jvm(spark):
 def test_new_pipelines_no_cartesian(spark):
     """The round-2 composed queries keep bucket/key-joined shapes."""
     for name in ("dedup_clusters", "benchmark_association", "assoc_replace",
-                 "replace_children", "validation_split"):
+                 "replace_children", "validation_split",
+                 "q10_returned_revenue", "q18_large_orders",
+                 "customers_without_urgent_orders"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
