@@ -48,6 +48,9 @@ HEADLINE_QUERIES = [
     "ann_topk_cosine",
     "text_quality",
     "doc_fingerprint",
+    "asof_join_attribution",
+    "range_join_events",
+    "tfidf_top_terms",
 ]
 
 
@@ -129,7 +132,7 @@ def main() -> None:
         crawl = run_crawl(CPUS, store)
 
     total = round(sum(qt.values()) + crawl["wall_s"], 2)
-    print(json.dumps({
+    out = {
         "metric": "headline suite wall (queries sf0.1 + synthetic crawl); "
                   "crawl.urls_per_sec is the BASELINE.json frontier metric",
         "value": total,
@@ -137,7 +140,38 @@ def main() -> None:
         "queries": qt,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "crawl": crawl,
-    }))
+    }
+    out.update(_latest_scaling_summary())
+    print(json.dumps(out))
+
+
+def _latest_scaling_summary() -> dict:
+    """Attach the newest archived scaling report's efficiencies so the
+    default bench line carries the N-vs-4N evidence (full tables and
+    methodology: BENCH.md; raw runs: bench_results/scaling_*.json)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_results", "scaling_*.json")), key=os.path.getmtime)
+    if not files:
+        return {}
+    try:
+        with open(files[-1]) as f:
+            rep = json.load(f)
+        calib = {int(k): v for k, v in rep["calibration_units_per_s"].items()}
+        io = {int(k): v
+              for k, v in (rep.get("io_calibration_units_per_s") or {}).items()}
+        summary = {
+            "scaling_eff_2_to_8": rep["efficiency_2_to_8"],
+            "scaling_cpu_ceiling_2_to_8": round(calib[8] / (4 * calib[2]), 3),
+            "scaling_source": os.path.basename(files[-1]),
+        }
+        if io:
+            summary["scaling_write_ceiling_2_to_8"] = round(io[8] / (4 * io[2]), 3)
+        return summary
+    except Exception:
+        return {}  # never let the summary break the bench line
 
 
 # ---------------------------------------------------------------- scaling
