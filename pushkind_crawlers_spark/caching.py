@@ -18,6 +18,8 @@ operators cache.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 
 _ATTR = "_persist_deps"
@@ -43,20 +45,49 @@ def carry(child: DataFrame, *parents: DataFrame) -> DataFrame:
     return child
 
 
+#: count of CheckpointHandle releases that could not resolve or drop the
+#: backing RDD — a nonzero value means checkpoint blocks are leaking
+#: (observable instead of the old silent ``except: pass``).
+FAILED_RELEASES = 0
+
+
 class CheckpointHandle:
     """Release-compatible handle for a ``localCheckpoint``'ed frame:
     exposes ``unpersist()`` that drops the backing checkpointed RDD
     (a plain ``DataFrame.unpersist`` does not touch checkpoint
-    storage)."""
+    storage).
+
+    The JVM RDD is captured at handle-CREATION time, when the analyzed
+    plan is known to be the bare LogicalRDD an eager localCheckpoint
+    leaves behind — re-deriving it at release time through private
+    accessors silently no-ops if the plan shape or Spark version
+    changes, which is exactly the leak this handle exists to prevent.
+    """
 
     def __init__(self, df: DataFrame):
-        self._df = df
+        global FAILED_RELEASES
+        try:
+            self._jrdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            self._jrdd = None
+            FAILED_RELEASES += 1
+            warnings.warn(
+                "CheckpointHandle: could not capture checkpointed RDD; "
+                "its storage will not be released", RuntimeWarning,
+            )
 
     def unpersist(self) -> None:
+        global FAILED_RELEASES
+        if self._jrdd is None:
+            return
         try:
-            self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            self._jrdd.unpersist(False)
         except Exception:
-            pass  # plan shape changed / already cleaned — never fail cleanup
+            FAILED_RELEASES += 1
+            warnings.warn(
+                "CheckpointHandle: unpersist of checkpointed RDD failed",
+                RuntimeWarning,
+            )
 
 
 def carry_checkpoint(child: DataFrame, ckpt_df: DataFrame) -> DataFrame:

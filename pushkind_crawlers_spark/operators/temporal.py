@@ -24,52 +24,62 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
               right_cols: list[str], suffix: str = "_asof") -> DataFrame:
     """For each left row, attach the right row with the greatest
-    ``(time, *right_cols[0])`` not after the left row's time, per key.
+    ``(time, *right_cols)`` not after the left row's time, per key.
 
     Tie-break: a right row at exactly the left row's time DOES match
     (<=), and among right rows sharing a timestamp the one with the
-    largest first ``right_cols`` value wins — fully deterministic.
+    lexicographically largest ``right_cols`` tuple wins (NULL smallest)
+    — fully deterministic for ANY number of right columns.
+
+    The right row travels as ONE struct, so every suffixed output column
+    comes from the SAME right row — per-column carries could mix values
+    from different rows when a winning row holds NULL in a secondary
+    column.
 
     Output: every left column + ``<c><suffix>`` for each right col
     (NULL when no right row precedes). One shuffle on ``key``.
     """
     lcols = left.columns
+    rstruct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     tag_r = right.select(
         F.col(key), F.col(time_col),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in lcols if c not in (key, time_col)],
     )
     tag_l = left.select(
         F.col(key), F.col(time_col),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(rstruct_t).alias("_rrow"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols if c not in (key, time_col)],
     )
     unioned = tag_r.unionByName(tag_l)
     # rights sort before lefts at equal time (side 0 < 1) so an
     # exactly-simultaneous right row is visible to the left row; among
-    # equal-time rights the LAST carried value is the max right_cols[0]
+    # equal-time rights the LAST carried struct is the lexicographic max
+    # of the right_cols tuple (struct ordering is field-wise, NULL first
+    # in asc => NULL smallest), so the whole winning row is carried
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(time_col), F.col("_side"),
-                 F.col(f"_r_{right_cols[0]}").asc_nulls_first())
+                 F.col("_rrow").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in right_cols],
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_match")
     )
     return carried.filter(F.col("_side") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in right_cols]
+        *lcols,
+        *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
 
 
@@ -78,8 +88,12 @@ def asof_join_sql(left_sql: str, right_sql: str, key: str, time_col: str,
                   suffix: str = "_asof") -> str:
     """DuckDB twin via LATERAL with the same explicit tie-break (never
     the native ASOF JOIN — its duplicate-timestamp choice is
-    unspecified, ours is pinned)."""
-    order = f"r.{time_col} DESC, r.{right_cols[0]} DESC"
+    unspecified, ours is pinned). Ordering spans ALL right cols DESC
+    NULLS LAST, matching the engine's lexicographic-max-struct carry."""
+    order = ", ".join(
+        [f"r.{time_col} DESC"]
+        + [f"r.{c} DESC NULLS LAST" for c in right_cols]
+    )
     rsel = ", ".join(f"r.{c} AS {c}{suffix}" for c in right_cols)
     lsel = ", ".join(f"l.{c}" for c in left_cols)
     return f"""
@@ -106,7 +120,10 @@ def range_self_join(df: DataFrame, key: str, time_col: str, id_col: str,
     epoch = F.unix_timestamp(F.col(time_col))
     base = df.select(
         F.col(key).alias("_k"), F.col(id_col).alias("_id"),
-        epoch.alias("_ts"), (epoch / band_s).cast("long").alias("_b"),
+        # floor, not cast-truncate: truncation rounds toward zero, so
+        # pre-1970 (negative-epoch) rows would land one bucket high and
+        # boundary-spanning pairs below zero would be missed
+        epoch.alias("_ts"), F.floor(epoch / band_s).cast("long").alias("_b"),
     )
     # left probes its own bucket and the next (a pair within band_s
     # spans at most one bucket boundary)

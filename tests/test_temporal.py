@@ -55,6 +55,50 @@ def test_asof_join_python_twin(spark):
         assert got[eid] == want, (eid, uid, ts)
 
 
+def test_asof_join_multi_right_cols_one_coherent_row(spark):
+    """All suffixed columns must come from the SAME winning right row —
+    a per-column carry would fill a NULL secondary column from an
+    earlier row (the r3 ADVICE hazard)."""
+    left = spark.createDataFrame(
+        [(10, 1, _ts(100))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(40), 80, "early"),          # older row, non-null note
+         (1, _ts(90), 94, None)],            # winning row, NULL note
+        "user_id long, ts timestamp, event_id long, note string",
+    )
+    row = asof_join(left, right, "user_id", "ts",
+                    ["event_id", "note"]).collect()[0]
+    assert row["event_id_asof"] == 94
+    assert row["note_asof"] is None  # NOT "early" — no cross-row mixing
+
+
+def test_asof_join_equal_time_multi_col_deterministic(spark):
+    """Ties on (ts, right_cols[0]) resolve by the NEXT right col
+    (lexicographic struct max), matching the SQL twin's full DESC
+    ordering."""
+    left = spark.createDataFrame(
+        [(10, 1, _ts(100))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(90), 94, "a"), (1, _ts(90), 94, "b")],
+        "user_id long, ts timestamp, event_id long, note string",
+    )
+    row = asof_join(left, right, "user_id", "ts",
+                    ["event_id", "note"]).collect()[0]
+    assert (row["event_id_asof"], row["note_asof"]) == (94, "b")
+
+
+def test_range_self_join_negative_epoch_floor(spark):
+    """Pre-1970 timestamps bucket by floor, not truncate-toward-zero:
+    a pair straddling a negative bucket boundary must still be found."""
+    rows = [(1, 1, dt.datetime(1969, 12, 31, 23, 59, 59)),
+            (1, 2, dt.datetime(1970, 1, 1, 0, 0, 1))]  # gap 2s across epoch 0
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = sorted((r["id_a"], r["id_b"], r["gap_s"]) for r in
+                 range_self_join(df, "user_id", "ts", "event_id",
+                                 band_s=3600).collect())
+    assert got == [(1, 2, 2)]
+
+
 def test_range_self_join_bucket_boundary(spark):
     """Pairs that straddle a bucket boundary are found exactly once."""
     rows = [(1, 1, _ts(3599)), (1, 2, _ts(3601)),   # gap 2, crosses bucket
