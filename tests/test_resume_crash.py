@@ -41,8 +41,12 @@ def test_partial_round_publish_is_invisible_to_resume(spark, tmp_path):
     state0 = store.read_run_state()
 
     # round 1 "crashes" after publishing table a but before the run swap
+    # (commit_round stamps every publish with run_id+round — the retry
+    # recognizes the orphan as its OWN by that stamp and republishes onto
+    # the pinned parent; an unstamped/foreign append would be rebased
+    # onto instead, see test_foreign_append_rebase below)
     pa, na = a.stage(spark.range(10, 12).select(F.col("id").alias("x")))
-    a.publish(pa, na, mode="append")
+    a.publish(pa, na, {"run_id": "r", "round": 1}, mode="append")
     state = store.read_run_state()
     assert state == state0                       # run manifest unmoved
     # resume path: read through the recorded snapshot ids
@@ -63,6 +67,54 @@ def test_partial_round_publish_is_invisible_to_resume(spark, tmp_path):
     assert state["round"] == 1
     assert _vals(spark, a, state["snapshot_ids"]["a"]) == [0, 1, 10, 11]
     assert _vals(spark, b, state["snapshot_ids"]["b"]) == [0, 1, 10, 11]
+
+
+def test_foreign_append_rebase(spark, tmp_path):
+    """A FOREIGN writer (different run_id — e.g. an analytics job's
+    merge) committing to a shared table between a round's read and its
+    publish must survive: the round's append rebases onto the foreign
+    snapshot (appends commute) instead of silently forking it off."""
+    store = SnapshotStore(str(tmp_path))
+    t = store.table("results", SCHEMA)
+    staged0 = {"results": t.stage(spark.range(2).select(F.col("id").alias("x")))}
+    store.commit_round(staged0, round_no=0, run_id="crawl")
+    state0 = store.read_run_state()
+
+    # crawl stages round 1's delta, then a foreign job commits
+    staged1 = {"results": t.stage(
+        spark.range(10, 12).select(F.col("id").alias("x")))}
+    pf, nf = t.stage(spark.range(100, 102).select(F.col("id").alias("x")))
+    t.publish(pf, nf, {"run_id": "analytics-job"}, mode="append")
+
+    store.commit_round(staged1, round_no=1, run_id="crawl",
+                       append_tables={"results"},
+                       parents=state0["snapshot_ids"])
+    state = store.read_run_state()
+    # BOTH the foreign job's rows and the round's delta are present
+    assert _vals(spark, t, state["snapshot_ids"]["results"]) == [
+        0, 1, 10, 11, 100, 101]
+
+
+def test_foreign_overwrite_conflict_fails_loud(spark, tmp_path):
+    """An overwrite-mode round commit racing a foreign writer must raise,
+    never silently revert the other writer (r3 ADVICE high)."""
+    import pytest
+
+    from pushkind_crawlers_spark.store.snapshots import CommitConflictError
+
+    store = SnapshotStore(str(tmp_path))
+    t = store.table("frontier", SCHEMA)
+    staged0 = {"frontier": t.stage(spark.range(2).select(F.col("id").alias("x")))}
+    store.commit_round(staged0, round_no=0, run_id="crawl")
+    state0 = store.read_run_state()
+
+    staged1 = {"frontier": t.stage(
+        spark.range(10, 12).select(F.col("id").alias("x")))}
+    pf, nf = t.stage(spark.range(100, 102).select(F.col("id").alias("x")))
+    t.publish(pf, nf, {"run_id": "someone-else"})
+    with pytest.raises(CommitConflictError):
+        store.commit_round(staged1, round_no=1, run_id="crawl",
+                           parents=state0["snapshot_ids"])
 
 
 def test_sidecar_resume_matches_uninterrupted(spark, small_world, tmp_path_factory):
