@@ -33,8 +33,7 @@ from .. import schemas
 from ..operators.similarity import (
     SIM_THRESHOLD,
     benchmark_topk_association,
-    fill_missing_embeddings,
-    hash_embed_udf,
+    auto_embed_udf,
     prompt_col,
 )
 from ..store.ops import RunLock, hub_crawlers, merge_upsert, set_embeddings
@@ -59,13 +58,18 @@ def run_benchmark_association(
     lock = RunLock(store, scope=f"benchmark-{benchmark_id}")
     with lock:
         results_t = store.table("results", schemas.RESULTS)
+        results_t.set_bucket_spec(["url"])
         results = results_t.read(spark)
         hub = hub_crawlers(spark, store, hub_id)
         scoped = results if hub is None else results.join(hub, "crawler_id", "semi")
         n_missing = scoped.filter(F.col("embedding").isNull()).count()
 
         # E3 memoized fill over the S7 prompt, persisted back (P6) so the
-        # next run embeds nothing.
+        # next run embeds nothing. The write is a bucket-scoped MERGE:
+        # only the buckets holding embedding-null urls are rewritten —
+        # O(delta) commit bytes at any table size; a concurrent writer
+        # (another hub's job, a crawl round) trips the CAS and the merge
+        # retries on its snapshot instead of reverting it.
         prompts = scoped.withColumn(
             "prompt",
             prompt_col(
@@ -73,17 +77,11 @@ def run_benchmark_association(
                 F.col("price"), F.col("amount"), F.col("description"),
             ),
         )
-        if hub is None:
-            filled = fill_missing_embeddings(prompts).drop("prompt")
-            results_t.commit(filled)
-        else:
-            # hub-scoped: embed only the hub's missing rows and MERGE them
-            # back as a P6 point update — other hubs' rows stream through
-            embed = hash_embed_udf()
-            new_embs = prompts.filter(F.col("embedding").isNull()).select(
-                "url", embed(F.col("prompt")).alias("embedding")
-            )
-            results_t.commit(set_embeddings(results, new_embs))
+        embed = auto_embed_udf()
+        new_embs = prompts.filter(F.col("embedding").isNull()).select(
+            "url", embed(F.col("prompt")).alias("embedding")
+        )
+        results_t.merge_commit(spark, new_embs, set_embeddings)
         products = results_t.read(spark)
         if hub is not None:
             products = products.join(hub, "crawler_id", "semi")
@@ -96,15 +94,20 @@ def run_benchmark_association(
         # distributed plan untouched — O(1) driver rows at any table size
         # (reference anchor src/repository/benchmark.rs:29-47).
         bench_t = store.table("benchmarks", schemas.BENCHMARKS)
+        bench_t.set_bucket_spec(["benchmark_id"])
         bench_df = bench_t.read(spark)
         row = bench_df.filter(F.col("benchmark_id") == benchmark_id).first()
         bench_embedded = False
         if row is None or row["embedding"] is None or row["prompt"] != benchmark_prompt:
-            embed = hash_embed_udf()
+            embed = auto_embed_udf()
             batch = spark.createDataFrame(
                 [(benchmark_id, benchmark_prompt, None)], schemas.BENCHMARKS
             ).withColumn("embedding", embed(F.col("prompt")))
-            bench_t.commit(merge_upsert(bench_df, batch, keys=["benchmark_id"]))
+            # 1-row upsert = 1-bucket rewrite, not a table rewrite
+            bench_t.merge_commit(
+                spark, batch,
+                lambda base, b: merge_upsert(base, b, keys=["benchmark_id"]),
+            )
             bench_embedded = True
             row = bench_t.read(spark).filter(
                 F.col("benchmark_id") == benchmark_id
@@ -123,16 +126,37 @@ def run_benchmark_association(
             F.col("sim"),
             F.col("rank").cast("int").alias("rank"),
         )
-        # P11: wipe + insert as ONE atomic overwrite commit
+        # P11: wipe THIS benchmark's rows + insert, as one atomic
+        # replace-where merge scoped to its bucket (the reference wipes
+        # per benchmark, src/processing/benchmark.rs:107-110 — a whole-
+        # table overwrite would clobber other benchmarks' associations).
+        # ``extra_touched`` forces the wipe even when no product passes
+        # the threshold (empty fresh set still deletes the stale one).
         assoc_t = store.table("associations", schemas.ASSOCIATIONS)
-        assoc_t.commit(assoc_rows)
-        written = assoc_t.read(spark)
+        assoc_t.set_bucket_spec(["benchmark_id"])
+        wipe_key = spark.createDataFrame([(benchmark_id,)], "benchmark_id int")
+        assoc_t.merge_commit(
+            spark, assoc_rows,
+            lambda base, b: base.filter(
+                F.col("benchmark_id") != benchmark_id).unionByName(b),
+            extra_touched=wipe_key,
+        )
+        written = assoc_t.read(spark).filter(
+            F.col("benchmark_id") == benchmark_id)
 
-        # P9 stats (runs even when the association set is empty)
+        # P9 stats (runs even when the association set is empty); same
+        # replace-where shape — stats rows for other benchmarks survive
         stats = written.groupBy("benchmark_id", "crawler_id").agg(
             F.count(F.lit(1)).alias("num_products")
         )
-        store.table("benchmark_stats", schemas.BENCHMARK_STATS).commit(stats)
+        stats_t = store.table("benchmark_stats", schemas.BENCHMARK_STATS)
+        stats_t.set_bucket_spec(["benchmark_id"])
+        stats_t.merge_commit(
+            spark, stats,
+            lambda base, b: base.filter(
+                F.col("benchmark_id") != benchmark_id).unionByName(b),
+            extra_touched=wipe_key,
+        )
         return {
             "benchmark_id": benchmark_id,
             "embedded": int(n_missing),

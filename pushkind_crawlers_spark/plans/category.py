@@ -33,7 +33,7 @@ from ..operators.similarity import (
     SIM_THRESHOLD,
     category_top1_assignment,
     fill_missing_embeddings,
-    hash_embed_udf,
+    auto_embed_udf,
     prompt_col,
 )
 from ..store.ops import (RunLock, assign_categories_guarded, hub_crawlers,
@@ -58,6 +58,7 @@ def run_category_match(
     touched and other hubs can run concurrently. None = whole store."""
     with RunLock(store, scope="hub" if hub_id is None else f"hub-{hub_id}"):
         results_t = store.table("results", schemas.RESULTS)
+        results_t.set_bucket_spec(["url"])
         results = results_t.read(spark)
         hub = hub_crawlers(spark, store, hub_id)
         scoped = results if hub is None else results.join(hub, "crawler_id", "semi")
@@ -70,15 +71,15 @@ def run_category_match(
                 F.col("price"), F.col("amount"), F.col("description"),
             ),
         )
-        if hub is None:
-            filled = fill_missing_embeddings(prompts).drop("prompt")
-            results_t.commit(filled)
-        else:
-            embed = hash_embed_udf()
-            new_embs = prompts.filter(F.col("embedding").isNull()).select(
-                "url", embed(F.col("prompt")).alias("embedding")
-            )
-            results_t.commit(set_embeddings(results, new_embs))
+        # E3 fill as a bucket-scoped MERGE: only buckets holding the
+        # hub's embedding-null urls rewrite (O(delta), CAS-retried), so
+        # two hubs' concurrent jobs can no longer silently revert each
+        # other's whole-table snapshots (r3 ADVICE high)
+        embed = auto_embed_udf()
+        new_embs = prompts.filter(F.col("embedding").isNull()).select(
+            "url", embed(F.col("prompt")).alias("embedding")
+        )
+        results_t.merge_commit(spark, new_embs, set_embeddings)
         products_all = results_t.read(spark)
         products = (products_all if hub is None
                     else products_all.join(hub, "crawler_id", "semi"))
@@ -92,10 +93,11 @@ def run_category_match(
             products.select("url", "embedding"), cats, threshold=threshold
         ).select("url", "category_id")
 
-        # the merge runs over the FULL table but assignments only name
-        # hub urls, so non-hub rows pass through bit-for-bit
-        merged = assign_categories_guarded(products_all, assignment)
-        results_t.commit(merged)
+        # P12 guarded assignment as a bucket-scoped MERGE: assignments
+        # only name hub urls, so only their buckets rewrite; non-hub rows
+        # and manual rows pass through bit-for-bit (the guard is the
+        # join-time predicate inside assign_categories_guarded)
+        results_t.merge_commit(spark, assignment, assign_categories_guarded)
         out = results_t.read(spark)
         if hub is not None:
             out = out.join(hub, "crawler_id", "semi")

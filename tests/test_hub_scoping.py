@@ -108,6 +108,63 @@ def test_hub_locks_are_independent(spark, store):
         lock1.release()
 
 
+def test_interleaved_hub_commits_no_lost_update(spark, store):
+    """THE r3 ADVICE-high race, exercised: hub 1's whole category job
+    commits in the window between hub 2's read of the shared results
+    table and hub 2's publish. With whole-table overwrite commits hub 1's
+    embeddings/assignments were silently reverted (last-writer-wins);
+    with bucket-scoped CAS merges hub 2's publish conflicts, retries on
+    hub 1's snapshot, and BOTH hubs' writes survive."""
+    from pushkind_crawlers_spark.store.snapshots import SnapshotTable
+
+    cats = spark.createDataFrame(
+        [(1, "Чай / Зелёный", None)],
+        "category_id int, name string, embedding array<float>",
+    )
+    orig = SnapshotTable._publish_buckets
+    state = {"fired": False}
+
+    def hook(self, staged, touched, expected_current, properties):
+        if not state["fired"] and self.name == "results":
+            state["fired"] = True
+            SnapshotTable._publish_buckets = orig
+            try:
+                run_category_match(spark, store, cats, threshold=0.0, hub_id=1)
+            finally:
+                SnapshotTable._publish_buckets = hook
+        return orig(self, staged, touched, expected_current, properties)
+
+    SnapshotTable._publish_buckets = hook
+    try:
+        out2 = run_category_match(spark, store, cats, threshold=0.0, hub_id=2)
+    finally:
+        SnapshotTable._publish_buckets = orig
+    assert state["fired"], "interleave hook never fired"
+    assert out2["total"] == 15
+
+    # ground truth: the same two jobs run SEQUENTIALLY on an identical
+    # store — interleaving must be indistinguishable (serializability)
+    seq = SnapshotStore(store.root + "-seq")
+    seq.table("results", schemas.RESULTS).commit(
+        spark.createDataFrame(_rows(), schemas.RESULTS))
+    seq.table("crawlers", schemas.CRAWLERS).commit(
+        spark.createDataFrame([(0, 1, "s0"), (1, 2, "s1")], schemas.CRAWLERS))
+    run_category_match(spark, seq, cats, threshold=0.0, hub_id=1)
+    run_category_match(spark, seq, cats, threshold=0.0, hub_id=2)
+
+    def snap(st):
+        return sorted(
+            (r["url"], [float(x) for x in r["embedding"]]
+             if r["embedding"] is not None else None,
+             r["category_id"], r["category_assignment_source"])
+            for r in st.table("results").read(spark).collect()
+        )
+
+    got, want = snap(store), snap(seq)
+    assert len(got) == 30
+    assert got == want  # neither hub's writes were lost or reordered
+
+
 def test_manual_rows_survive_hub_scoped_match(spark, store):
     """The P12 manual guard composes with hub scoping: a manual
     assignment inside the scoped hub is never overwritten."""
