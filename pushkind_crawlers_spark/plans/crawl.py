@@ -190,9 +190,19 @@ class CrawlEngine:
         sidecar_shards: int = 32,
         sidecar_broadcast_max_bytes: int = 64 << 20,
         expire_keep_last: int | None = None,
+        fetch_fn: Callable | None = None,
+        robots_fn: Callable | None = None,
     ):
         self.spark = spark
         self.world = world
+        # I/O seam (the reference's fetch_html, wintergreen.rs:44-53):
+        # ``fetch_fn`` is the mapInPandas page-fetch stage, ``robots_fn``
+        # the host -> robots.txt text fetcher. Defaults run against the
+        # in-process synthetic world; production wires
+        # plans.http_fetch.make_http_fetch_fn / http_robots_txt_fn over a
+        # live transport — the engine is oblivious to which one runs.
+        self._fetch_fn = fetch_fn if fetch_fn is not None else make_world_fetch_fn(world)
+        self._robots_fn = robots_fn if robots_fn is not None else world.robots_txt
         self.store = SnapshotStore(store_root)
         self.seeds = seeds if seeds is not None else world.seed_urls()
         self.weights = weights or PriorityWeights()
@@ -285,13 +295,13 @@ class CrawlEngine:
         over the host list (at 10^6+ hosts this is just another fetch
         stage), yielding the (host, prefix) rules dimension. Hosts whose
         robots.txt is absent/unfetchable get no rules (allow-all)."""
-        world = self.world
+        robots_fn = self._robots_fn
 
         def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = {"host": [], "prefix": [], "crawl_delay_s": []}
                 for h in pdf["host"]:
-                    prefixes, delay = parse_robots_full_py(world.robots_txt(h))
+                    prefixes, delay = parse_robots_full_py(robots_fn(h))
                     for prefix in prefixes:
                         rows["host"].append(h)
                         rows["prefix"].append(prefix)
@@ -451,7 +461,7 @@ class CrawlEngine:
         fetched = (
             scheduled.select("url_hash", "url", "host", "depth", "ord")
             .repartition(n_par, "url_hash")
-            .mapInPandas(make_world_fetch_fn(self.world), schemas.FETCHED)
+            .mapInPandas(self._fetch_fn, schemas.FETCHED)
         )
         fetched, _ = self._stage_df(fetched, round_no, "fetched")
 
