@@ -47,7 +47,7 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
     # (src/main.rs:57-102: Crawler / Benchmark / ProductCategoryMatch);
     # --job is that dispatch surface as a CLI
     p.add_argument("--job", default="crawl",
-                   choices=["crawl", "benchmark", "category"])
+                   choices=["crawl", "benchmark", "category", "curate"])
     p.add_argument("--benchmark-id", type=int, default=1)
     p.add_argument("--benchmark-prompt", default=None,
                    help="prompt text for --job benchmark")
@@ -57,6 +57,12 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
                    help="retain only the last N rounds' snapshots and "
                         "staging dirs (long-crawl retention; default: "
                         "keep everything)")
+    p.add_argument("--input", default=None,
+                   help="parquet path of (doc_id, text) documents for "
+                        "--job curate")
+    p.add_argument("--min-tokens", type=int, default=8)
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--jaccard-threshold", type=float, default=0.2)
     p.add_argument("--hub-id", type=int, default=None,
                    help="scope benchmark/category jobs to one hub's "
                         "crawlers (crawlers table; src/repository/"
@@ -94,6 +100,21 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
         )
         out = run_category_match(spark, SnapshotStore(args.store), cats,
                                  hub_id=args.hub_id)
+        print(json.dumps(out))
+        if _stop_session:
+            spark.stop()
+        return
+    if args.job == "curate":
+        from pushkind_crawlers_spark.plans.curate import run_corpus_curation
+
+        if not args.input:
+            p.error("--job curate requires --input <documents.parquet>")
+        out = run_corpus_curation(
+            spark, SnapshotStore(args.store),
+            spark.read.parquet(args.input),
+            min_tokens=args.min_tokens, min_quality=args.min_quality,
+            threshold=args.jaccard_threshold,
+        )
         print(json.dumps(out))
         if _stop_session:
             spark.stop()
