@@ -90,3 +90,94 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
             "n_events",
         )
     )
+
+
+def start_frontier_ingest(spark: SparkSession, input_dir: str,
+                          store_root: str, checkpoint: str,
+                          n_shards: int = 64,
+                          run_id: str = "stream-ingest"):
+    """Streaming seed/crawl-request ingress -> the engine's round-0 state
+    (VERDICT r03 next #10; the reference's ZMQ ingress analog,
+    /root/reference/src/main.rs:74-83 — crawl requests arrive as
+    messages; here they arrive as files of ``(raw_url, seed_idx)`` rows).
+
+    Each micro-batch canonicalizes (the engine's exact S4 expressions),
+    hashes, first-wins-dedups ACROSS batches through the stateful
+    per-shard seen filter (state.py), and commits the survivors as
+    appends to the store's ``frontier`` + ``seen`` snapshot tables under
+    a round-0 run manifest. A :class:`~..plans.crawl.CrawlEngine` then
+    picks the store up with ``run(resume=True)`` — the BFS proceeds
+    exactly as if the same seed set had been passed to ``__init__``;
+    parity is pinned by tests/test_streaming.py.
+
+    AvailableNow + checkpoint make the ingest resumable/exactly-once
+    over input files, like the results ingest above.
+    """
+    from .. import schemas
+    from ..functions.urlnorm import canonicalize_url_udf, host_of
+    from ..operators.priority import parity_priority
+    from ..plans.crawl import hseg_col
+    from ..store.snapshots import SnapshotStore
+    from .state import stateful_seen_filter
+
+    store = SnapshotStore(store_root)
+    tables = {
+        "frontier": schemas.FRONTIER, "seen": schemas.SEEN,
+        "results": schemas.RESULTS, "rejects": schemas.REJECTS,
+        "images": schemas.IMAGES, "crawl_order": schemas.CRAWL_ORDER,
+        "lineage": schemas.LINEAGE,
+    }
+    for name, sch in tables.items():
+        store.table(name, sch)
+
+    raw = (
+        spark.readStream.schema("raw_url string, seed_idx int")
+        .option("maxFilesPerTrigger", 1)   # one trigger per arriving file
+        .parquet(input_dir)
+    )
+    canon = (
+        raw.withColumn("url", canonicalize_url_udf(F.col("raw_url")))
+        .withColumn("host", host_of(F.col("url")))
+        .withColumn("ord", hseg_col(F.col("seed_idx")))
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    fresh = stateful_seen_filter(
+        canon.select("url_hash", "url", "host", "ord"), n_shards
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        frontier_rows = batch_df.select(
+            "url_hash", "url", "host",
+            F.lit(0).alias("depth"), "ord",
+            parity_priority(F.lit(0)).alias("priority"),
+            F.lit(0).alias("discovered_round"),
+            F.lit(None).cast("long").alias("parent_hash"),
+        )
+        seen_rows = batch_df.select(
+            "url_hash", "url", "host", F.lit(0).alias("discovered_round")
+        )
+        staged = {
+            "frontier": store.table("frontier").stage(frontier_rows),
+            "seen": store.table("seen").stage(seen_rows),
+        }
+        state = store.read_run_state()
+        if state is None:
+            for name in ("results", "rejects", "images",
+                         "crawl_order", "lineage"):
+                staged[name] = store.table(name).stage(
+                    spark.createDataFrame([], tables[name])
+                )
+            parents = None
+        else:
+            parents = state["snapshot_ids"]
+        store.commit_round(staged, round_no=0, run_id=run_id,
+                           append_tables={"frontier", "seen"},
+                           parents=parents)
+
+    q = (
+        fresh.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
