@@ -104,3 +104,34 @@ def release(df: DataFrame) -> None:
         h.unpersist()
     if hasattr(df, _ATTR):
         setattr(df, _ATTR, [])
+
+
+class BroadcastHandle:
+    """Release-compatible handle for a python ``Broadcast`` payload
+    (probe-filter blobs). ``destroy`` frees executor memory AND the
+    driver-side broadcast file — per-round probe broadcasts would
+    otherwise accumulate on the driver for the crawl's lifetime."""
+
+    def __init__(self, bc):
+        self._bc = bc
+
+    def unpersist(self) -> None:
+        global FAILED_RELEASES
+        if self._bc is None:
+            return
+        try:
+            self._bc.destroy()
+            self._bc = None
+        except Exception:
+            FAILED_RELEASES += 1
+            warnings.warn("BroadcastHandle: destroy failed", RuntimeWarning)
+
+
+def carry_broadcast(child: DataFrame, bc) -> DataFrame:
+    """Register a Broadcast for release via ``release(child)`` (no-op
+    when ``bc`` is None — the closure-fallback path of the probe UDFs)."""
+    if bc is None:
+        return child
+    deps = getattr(child, _ATTR, []) + [BroadcastHandle(bc)]
+    setattr(child, _ATTR, deps)
+    return child

@@ -209,3 +209,69 @@ def test_sidecar_broadcast_absent_shard_routes_to_exact(spark):
     got = {r["url"] for r in
            filter_new_urls_sidecar(cand, seen, partial, n_shards=8).collect()}
     assert got == want
+
+
+# ------------------------------------------------ broadcast probe shipping
+
+
+def test_probe_blob_ships_as_broadcast_not_closure(spark):
+    """The probe UDF's pickled command must NOT embed the filter blobs:
+    a closure capture re-ships + re-unpickles the blobs for every task,
+    which at local[32] turns the fixed blob cost into concurrent
+    memory-bandwidth pressure (the dedup_sidecar 8->32 wall inversion,
+    VERDICT r03 wrong #3). With an active session the state must ride a
+    Spark Broadcast (small pickled reference, fetched once per worker)."""
+    import cloudpickle
+
+    from pushkind_crawlers_spark.operators.seen import (
+        bloom_probe_udf,
+        sidecar_probe_udf,
+    )
+
+    seen = _urls(spark, 200_000)
+    bloom = NumpyBloom.sized_for(2_000_000)  # ~2.4 MB bitmap
+    add_to_bloom(bloom, seen, "url_hash")
+    blob_bytes = bloom.words.nbytes
+    assert blob_bytes > 1_000_000
+
+    bprobe = bloom_probe_udf(bloom)
+    assert bprobe._bc is not None
+    assert len(cloudpickle.dumps(bprobe.func)) < blob_bytes // 10
+
+    side = build_cuckoo_sidecar(seen, n_shards=16).collect()
+    side_bytes = sum(len(bytes(r["words"])) for r in side)
+    assert side_bytes > 500_000
+    sprobe = sidecar_probe_udf(side, n_shards=16, bloom=bloom)
+    assert sprobe._bc is not None
+    assert len(cloudpickle.dumps(sprobe.func)) < side_bytes // 10
+
+
+def test_release_destroys_probe_broadcasts(spark):
+    """filter outputs carry BroadcastHandles; release() after the
+    terminal action destroys them (driver broadcast files would
+    otherwise accumulate for the crawl's lifetime)."""
+    from pushkind_crawlers_spark.caching import BroadcastHandle, release
+
+    seen = _urls(spark, 20_000)
+    cand = _urls(spark, 40_000)
+    bloom = NumpyBloom.sized_for(20_000)
+    add_to_bloom(bloom, seen, "url_hash")
+    side = build_cuckoo_sidecar(seen, n_shards=8).collect()
+
+    out = filter_new_urls_sidecar(cand, seen, side, n_shards=8, bloom=bloom)
+    n = out.count()
+    want = cand.join(seen.select("url"), "url", "left_anti").count()
+    assert n == want
+    handles = [h for h in getattr(out, "_persist_deps", [])
+               if isinstance(h, BroadcastHandle)]
+    assert handles, "sidecar filter must register its probe broadcast"
+    release(out)
+    assert all(h._bc is None for h in handles)
+
+    out2 = filter_new_urls(cand, seen, bloom, confirm="anti")
+    assert out2.count() == want
+    handles2 = [h for h in getattr(out2, "_persist_deps", [])
+                if isinstance(h, BroadcastHandle)]
+    assert handles2, "bloom filter must register its probe broadcast"
+    release(out2)
+    assert all(h._bc is None for h in handles2)
