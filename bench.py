@@ -586,7 +586,11 @@ def render_scaling(report: dict) -> None:
         "  wholesale (it is only touched by the positives' anti-join, which",
         "  at cluster scale is a storage-partitioned join against the",
         "  bucketed seen table). Build is untimed — it happens once per",
-        "  RUN, not per round.",
+        "  RUN, not per round. Since r04 the filter blobs ship as a Spark",
+        "  BROADCAST (fetched once per worker) instead of a UDF-closure",
+        "  capture re-unpickled per task; the probe-only stage now scales",
+        "  (profiled 4.1s at local[8] -> 2.1s at local[32] on the",
+        "  24M-candidate input).",
         "- **decode**: PNG decode + batched-DCT phash over a binary image column",
         f"  ({DECODE_K:,} images).",
         "",
@@ -595,9 +599,27 @@ def render_scaling(report: dict) -> None:
         "archived in `bench_results/scaling_*.json` — judge against the",
         "spread, not one draw. The local[32] column is context only: the",
         "calibration shows even raw multiprocessing cannot scale past",
-        "~0.6-0.7 on the 8→32 step here, and 32-worker runs additionally",
-        "contend for memory bandwidth (the sidecar probe's random-access",
-        "gathers over per-shard slot tables are the most sensitive to it).",
+        "~0.6-0.7 on the 8→32 step here.",
+        "",
+        "**The r03 dedup_sidecar local[32] inversion, profiled (r04).**",
+        "Stage-by-stage timing at both levels decomposed the 14.7s→20.0s",
+        "inversion: (a) the probe stage was closure-shipping the multi-MB",
+        "filter blobs per task — fixed in r04 via Spark broadcast, after",
+        "which the probe stage scales (4.1s@8 → 2.1s@32); (b) the remaining",
+        "terms are the persist materialization and the staged parquet",
+        "write, and those are host artifacts, not plan shape: back-to-back",
+        "IDENTICAL branch+write executions inside ONE local[32] JVM read",
+        "53.6s then 6.5s (throttle decay after sustained load — the",
+        "oversubscribed host can sit 3-8× depressed for the first",
+        "execution), and both levels produce the IDENTICAL 27 output files",
+        "(AQE coalesces the shuffle branches), so there is no small-file",
+        "asymmetry between levels. A 27-file staged write costs 3.7-3.9s at",
+        "BOTH core counts vs 1.1-1.9s for 16 files — a per-file fixed",
+        "commit cost of this sandbox FS (sequential task-commit renames),",
+        "irrelevant at 100TB file sizes where files are 128-512MB. A",
+        "pre-write coalesce was measured and REJECTED: it narrows the",
+        "cached-branch compute to the coalesced width and read 54-66s at",
+        "local[32] on a throttled host — worse than the disease.",
         "",
         "These components are what dominates at 10^10-URL rounds; per-round",
         "driver latency is constant in cluster size and amortizes away at",

@@ -1934,3 +1934,129 @@ QUERIES["q18_large_orders"] = q18_large_orders
 ORACLE["q18_large_orders"] = SQL_Q18
 QUERIES["customers_without_urgent_orders"] = customers_without_urgent_orders
 ORACLE["customers_without_urgent_orders"] = SQL_NO_URGENT
+
+
+# --------------------------------- round-4 classic analytic shapes
+
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS — the general form behind ROLLUP/CUBE (both already
+    gated): explicit (flag,status) / (flag) / () granularities in ONE
+    aggregation pass. Spark expands the sets map-side and keeps the
+    aggregation partial, so at 100 TB this is still one shuffle keyed by
+    (grouping-id, keys). GROUPING() markers disambiguate real NULLs from
+    subtotal rows, cast to int on both engines."""
+    li = load(spark, sf, "lineitem")
+    li.createOrReplaceTempView("li_gsets")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this schema (no partsupp table): for
+    each size-25 part, the supplier with the LOWEST average sale price
+    in lineitem, ties broken by smallest suppkey. Plan shape: broadcast
+    the filtered part dim into the fact scan, one partial-agg shuffle on
+    (partkey, suppkey), then a window min per part — never a correlated
+    per-part subquery. Reference analog: the benchmark job's best-price
+    association (src/processing/benchmark.rs) is this same
+    argmin-per-group pattern."""
+    li = load(spark, sf, "lineitem")
+    p = F.broadcast(load(spark, sf, "part").filter(F.col("p_size") == 25))
+    s = F.broadcast(load(spark, sf, "supplier"))
+    avg_price = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("avg_price"), F.asc("l_suppkey")
+    )
+    return (
+        avg_price.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("p_partkey", "p_name",
+                F.col("l_suppkey").alias("s_suppkey"), "s_name", "avg_price")
+    )
+
+
+SQL_Q2_MIN_COST = """
+WITH avg_price AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         round(avg(l_extendedprice), 2) AS avg_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 25
+  GROUP BY p_partkey, p_name, l_suppkey
+), best AS (
+  SELECT p_partkey, p_name, l_suppkey, avg_price,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+  FROM avg_price
+)
+SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name, avg_price
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+
+def q4_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to this schema (no commit/receipt dates):
+    per order priority, how many orders have at least one line shipped
+    more than 60 days after the order date. The EXISTS becomes a
+    semi-join whose inequality predicate references both sides, so it
+    stays attached to the key join (one shuffle on orderkey), then a
+    broadcast-sized count per priority."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_Q4_LATE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES["grouping_sets_revenue"] = grouping_sets_revenue
+ORACLE["grouping_sets_revenue"] = SQL_GROUPING_SETS
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+ORACLE["q2_min_cost_supplier"] = SQL_Q2_MIN_COST
+QUERIES["q4_late_shipments"] = q4_late_shipments
+ORACLE["q4_late_shipments"] = SQL_Q4_LATE
