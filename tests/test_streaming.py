@@ -206,3 +206,56 @@ def test_streaming_seed_ingest_matches_batch_engine(spark, small_world, tmp_path
     assert s["results"] == b["results"]
     # the dupes really were suppressed at ingest: 2 distinct seeds only
     assert sum(1 for u in s["seen"]) >= 2
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Late-data semantics pinned: an event older than the watermark
+    established by a PREVIOUS micro-batch (and persisted in the
+    checkpoint across a restart) is dropped from the aggregation; the
+    closed window's emitted count never changes. This is the contract
+    the frontier/results ingest relies on to bound state at 100 TB —
+    without the watermark the session/window state grows forever."""
+    import datetime as dt
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "ts timestamp, user_id long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1)\
+            .write.mode("append").parquet(inp)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    t = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    # batch 1: three events in the 10:00 window + one at 12:00 that
+    # advances the watermark to 11:50, closing (and emitting) 10:00-10:05
+    write_batch([(t, 1), (t + dt.timedelta(minutes=1), 2),
+                 (t + dt.timedelta(minutes=2), 3),
+                 (t + dt.timedelta(hours=2), 4)])
+    run()
+    first = {r["w_start"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert first.get(t) == 3, first
+
+    # batch 2 after restart: one LATE event inside the closed window
+    # (must be dropped — watermark 11:50 came from the checkpoint) and
+    # one at 13:00 that closes the 12:00 window
+    write_batch([(t + dt.timedelta(minutes=1), 99),
+                 (t + dt.timedelta(hours=3), 5)])
+    run()
+    final = {r["w_start"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert final[t] == 3, "late event leaked into a watermark-closed window"
+    assert final[t + dt.timedelta(hours=2)] == 1
