@@ -449,6 +449,11 @@ COMPONENTS = (("sched_fetch", "urls_per_sec"),
               ("dedup_sidecar", "cands_per_sec"),
               ("decode", "imgs_per_sec"))
 
+# cells whose timed section ends in (and is dominated by) a staged
+# parquet write — their honest scaling bound is the write-inclusive
+# ceiling, per BASELINE.md's stated bar
+WRITE_DOMINATED = {"dedup", "dedup_anti", "dedup_sidecar"}
+
 
 def scaling() -> None:
     calib = _calibrate_box()
@@ -544,7 +549,11 @@ def render_scaling(report: dict) -> None:
     ]
     for comp, key in COMPONENTS:
         a, b, c = best[2][comp], best[8][comp], best[32][comp]
-        flag = " ✅" if effs[comp] >= 0.8 else " ⚠️"
+        # the stated bar (BASELINE.md): >=0.8 absolute OR >=0.85 of the
+        # same-session ceiling for the cell's operation mix
+        ceiling = (io28 if comp in WRITE_DOMINATED and io28 else ceil28)
+        passes = effs[comp] >= 0.8 or (ceiling and effs[comp] / ceiling >= 0.85)
+        flag = " ✅" if passes else " ⚠️"
         lines.append(
             f"| {comp} | {a['rows']:,} | {a['wall_s']}s ({a[key]:,}/s)"
             f" | {b['wall_s']}s ({b[key]:,}/s) | {c['wall_s']}s ({c[key]:,}/s)"

@@ -190,6 +190,7 @@ class CrawlEngine:
         sidecar_shards: int = 32,
         sidecar_broadcast_max_bytes: int = 64 << 20,
         expire_keep_last: int | None = None,
+        compact_every: int | None = None,
         fetch_fn: Callable | None = None,
         robots_fn: Callable | None = None,
     ):
@@ -233,6 +234,10 @@ class CrawlEngine:
         # everything (time travel / debugging). Resume only ever reads
         # the LAST committed round, so any N >= 1 is resume-safe.
         self.expire_keep_last = expire_keep_last
+        # every N rounds, rewrite the append-chain tables' accumulated
+        # per-round data dirs into one (SnapshotTable.compact) — long
+        # crawls otherwise read O(rounds) directories of small files
+        self.compact_every = compact_every
         self.bloom: NumpyBloom | None = (
             NumpyBloom.sized_for(bloom_expected) if use_bloom else None
         )
@@ -677,6 +682,15 @@ class CrawlEngine:
         )
         if self.bloom is not None:
             add_to_bloom(self.bloom, seen_add, "url_hash")
+        if (self.compact_every is not None
+                and round_no % self.compact_every == 0):
+            # rewrite each append-chain table's O(rounds) data dirs into
+            # one (store.compact docstring has the measured cost model);
+            # before expire so a small retention window can GC the
+            # superseded dirs immediately
+            for name in ("seen", "results", "rejects", "images",
+                         "crawl_order", "lineage"):
+                self.store.table(name).compact(self.spark)
         if self.expire_keep_last is not None:
             self._expire(round_no)
         return m

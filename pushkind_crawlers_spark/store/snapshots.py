@@ -382,6 +382,56 @@ class SnapshotTable:
         finally:
             batch.unpersist()
 
+    def compact(self, spark: SparkSession, min_dirs: int = 2,
+                target_file_bytes: int = 128 << 20,
+                properties: dict | None = None) -> int | None:
+        """Rewrite the current snapshot's data as ONE directory sized to
+        ``target_file_bytes`` files — the hermetic analog of Iceberg's
+        ``rewrite_data_files``.
+
+        Append-chain tables (seen/results/... under ``append_tables``)
+        gain one data directory per crawl round, so a long run's reads
+        union O(rounds) directories of small files; BENCH.md measures
+        ~100-175ms of fixed per-file commit/open cost on this FS, and at
+        cluster scale small files inflate task counts and NameNode/
+        manifest pressure the same way. Compaction trades one sequential
+        rewrite for O(1)-directory reads afterwards; the superseded
+        directories stay on disk (time travel to the pre-compaction
+        snapshot still works) until ``expire_snapshots`` GCs them.
+
+        No-op (returns the current id) when the table has fewer than
+        ``min_dirs`` data directories or is bucket-specced (merge_commit
+        keeps each bucket single-directory already). Publishes with CAS
+        against the snapshot it read, and fails loud if the rewritten
+        row count differs from the manifest's."""
+        m = self._read_manifest()
+        cur = m["current"]
+        if cur is None:
+            return None
+        snap = self._snapshot(m, cur)
+        if "bucket_paths" in snap:
+            return cur
+        paths = self._snap_paths(snap)
+        if len(paths) < min_dirs:
+            return cur
+        total_bytes = 0
+        for p in paths:
+            for dirpath, _, files in os.walk(p):
+                total_bytes += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        df = self.read(spark, cur).coalesce(n_files)
+        path, n = self.stage(df)
+        if n != snap["row_count"]:
+            shutil.rmtree(path, ignore_errors=True)
+            raise RuntimeError(
+                f"{self.name}: compaction rewrote {n} rows, manifest says "
+                f"{snap['row_count']} — aborted, table unchanged")
+        props = dict(properties or {})
+        props.setdefault("compaction", {"dirs_before": len(paths),
+                                        "bytes": total_bytes})
+        return self.publish(path, n, props, expected_current=cur)
+
     def rollback(self, snapshot_id: int) -> None:
         m = self._read_manifest()
         self._snapshot(m, snapshot_id)  # raises KeyError if missing

@@ -57,6 +57,10 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
                    help="retain only the last N rounds' snapshots and "
                         "staging dirs (long-crawl retention; default: "
                         "keep everything)")
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="every N rounds rewrite the append-chain tables' "
+                        "accumulated per-round data dirs into one "
+                        "(rewrite_data_files analog; default: never)")
     p.add_argument("--input", default=None,
                    help="parquet path of (doc_id, text) documents for "
                         "--job curate")
@@ -129,7 +133,8 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
                          seeds=seeds,
                          seen_mode=args.seen_mode,
                          sidecar_shards=args.sidecar_shards,
-                         expire_keep_last=args.expire_keep_last)
+                         expire_keep_last=args.expire_keep_last,
+                         compact_every=args.compact_every)
     with RunLock(SnapshotStore(args.store)):  # G1/G2 single-writer guard
         run = engine.run(max_rounds=args.max_rounds, resume=args.resume)
     print(json.dumps({
