@@ -184,3 +184,31 @@ def test_sidecar_filter_plan_shape(spark):
     # subtree, ArrowEvalPython included, once per scan — but executes it
     # once; InMemoryTableScan presence is the reuse evidence)
     assert "InMemoryTableScan" in plan
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark):
+    """The argmin-per-group plan: part + supplier dims broadcast into the
+    fact scan, aggregation before the window, never a correlated
+    per-part subquery or nested loop."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan  # avg partials combine map-side
+
+
+def test_q4_exists_is_semi_join(spark):
+    """The EXISTS with a cross-table inequality stays attached to the key
+    join (one equi semi-join), not a nested loop."""
+    plan = _plan(spark, "q4_late_shipments")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS runs as one Expand + one aggregation, not a union of
+    three scans."""
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
