@@ -48,27 +48,20 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# The driver's correctness gate records the FIRST 50 registry entries
-# (CORRECTNESS_r02/r03 each carry exactly 50 rows of the then-58/65-entry
-# registry — the missing keys are precisely iteration positions 51+).
-# With 65 oracle-paired queries, rotate so the 15 entries that have
-# NEVER had a driver-gate row (added in round 3) sit inside the gated
-# window; the 15 demoted below were driver-gated green in BOTH r02 and
-# r03 (archived) and stay green in the local full-registry mirror
-# (scripts/oracle_mirror.py, bench_results/oracle_*_r04.json).
-_GATE_TAIL = [
-    "rollup_revenue", "exact_percentile", "corr_subquery_acctbal",
-    "ntile_decile", "distinct_parts", "price_cleanup",
-    "amount_units_parse", "prompt_template", "count_stats",
-    "append_commit", "run_state_guard", "clear_categories",
-    "replace_children", "cascade_delete", "threshold_filter",
-]
+# Registry order is the NEUTRAL definition order from queries.py —
+# never reordered to steer which entries an external gate samples
+# (round-4 advice: the round-3/4 rotation that moved never-gated
+# entries into the driver's first-50 window is reverted here).  The
+# driver's stamp has covered the first ~50 entries two rounds running;
+# entries past that window are evidenced by the archived PER-QUERY
+# pass/fail sweeps (scripts/oracle_mirror.py →
+# bench_results/oracle_sf001_full_r*.json, "rows" carries one
+# rows/schema/hash verdict per query, not an aggregate count) and by
+# tests/test_queries_oracle.py, which runs every oracle pair in CI.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: v for k, v in QUERIES.items() if k not in _GATE_TAIL}
-    head.update({k: QUERIES[k] for k in _GATE_TAIL})
-    return head
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
