@@ -26,13 +26,13 @@ worker) so tests drive the full fetch/parse path with
 from __future__ import annotations
 
 import time
-from html.parser import HTMLParser
 from typing import Callable, Iterator, Optional
+from urllib.parse import urlsplit
 
 import pandas as pd
 
 from .. import schemas
-from ..functions.urlnorm import absolutize
+from .site_rules import SYNTHETIC_RULES, parse_with_rules
 
 _FETCHED_COLS = [f.name for f in schemas.FETCHED.fields]
 
@@ -54,6 +54,9 @@ def real_http_transport(
       wintergreen.rs:49-52) — 4xx never retries, 5xx retries with
       exponential backoff up to ``retries`` times;
     * connection errors / timeouts retry the same way;
+    * only http/https targets are fetched — urllib's urlopen would
+      happily read ``file://`` / ``ftp://``, and link/image URLs are
+      page-controlled, so any other scheme returns None (SSRF guard);
     * ``url_rewrite`` maps the logical URL to the wire URL (test
       servers, forward proxies) without the engine seeing it.
     """
@@ -62,6 +65,8 @@ def real_http_transport(
 
     def get(url: str) -> bytes | None:
         target = url_rewrite(url) if url_rewrite is not None else url
+        if urlsplit(target).scheme not in ("http", "https"):
+            return None
         req = urllib.request.Request(target, headers={"User-Agent": user_agent})
         for attempt in range(retries + 1):
             try:
@@ -95,100 +100,23 @@ def http_robots_txt_fn(transport_factory=real_http_transport):
 
 # --------------------------------------------------------------- site rules
 
-# element-class -> parsed payload field (one site-rule table; a second
-# webstore would register its own mapping, as the reference registers
-# one crawler impl per site, src/crawlers/mod.rs)
-_TEXT_FIELDS = {
-    "product-title": "name",
-    "sku": "sku",
-    "breadcrumb-item": "category",
-    "price": "price_str",
-    "amount": "amount_str",
-    "units": "units_raw",
-    "description": "description",
-}
-_LINK_CLASSES = ("menu-navigation__sections-item-link", "product-item-link")
-
-
-class _SiteParser(HTMLParser):
-    """Stream parse: one pass, no DOM. Text inside a classed element is
-    captured verbatim (no strip — whitespace-only names must survive to
-    hit the validation gate, mod.rs:50-170)."""
-
-    def __init__(self, page_url: str):
-        super().__init__(convert_charrefs=True)
-        self.page_url = page_url
-        self.kind: str | None = None
-        self.out_links: list[str] = []
-        self.page_labels: list[str] = []
-        self.fields: dict[str, str] = {}
-        self.images: list[dict] = []
-        self.variants_json: str | None = None
-        self._capture: list[tuple[str, list[str]]] = []  # (field, buffer)
-        self._in_offers = False
-
-    def handle_starttag(self, tag, attrs):
-        a = dict(attrs)
-        cls = a.get("class", "")
-        if tag == "body":
-            for c in cls.split():
-                if c.startswith("kind-"):
-                    self.kind = c[len("kind-"):]
-        elif tag == "a" and cls in _LINK_CLASSES and a.get("href"):
-            self.out_links.append(absolutize(self.page_url, a["href"]))
-        elif tag == "a" and cls == "page-label":
-            self._capture.append(("_page_label", []))
-        elif tag == "img" and cls == "page-image" and a.get("src"):
-            src = absolutize(self.page_url, a["src"])
-            self.images.append({
-                "image_id": src.rsplit("/", 1)[-1],
-                "src": src,
-                "caption": a.get("alt"),
-            })
-        elif tag == "script" and a.get("id") == "offers":
-            self._in_offers = True
-            self.variants_json = ""
-        elif cls in _TEXT_FIELDS:
-            self._capture.append((_TEXT_FIELDS[cls], []))
-
-    def handle_data(self, data):
-        if self._in_offers:
-            self.variants_json += data
-        elif self._capture:
-            self._capture[-1][1].append(data)
-
-    def handle_endtag(self, tag):
-        if tag == "script" and self._in_offers:
-            self._in_offers = False
-        elif self._capture:
-            field, buf = self._capture.pop()
-            text = "".join(buf)
-            if field == "_page_label":
-                self.page_labels.append(text)
-            else:
-                self.fields[field] = text
+# The per-site selector matrices (the five reference stores + the
+# synthetic template) live in plans/site_rules.py as DATA interpreted
+# by one streaming parser — the analog of the reference registering one
+# crawler impl per site (src/crawlers/mod.rs).
 
 
 def parse_site_html(page_url: str, text: str) -> dict | None:
-    """Parse one page into the engine's fetched-row fields.
+    """Parse one synthetic-template page into the engine's fetched-row
+    fields (the production parser under ``SYNTHETIC_RULES``).
 
     Returns None when the document carries no recognizable template
     (no ``kind`` marker) — the fetch row lands ``ok=False`` exactly
-    like a 404.
+    like a 404.  For the five real stores use
+    ``site_rules.make_site_parse_fn(SITE_RULES[site])`` or the
+    host-dispatched ``make_multi_site_parse_fn()``.
     """
-    p = _SiteParser(page_url)
-    p.feed(text)
-    p.close()
-    if p.kind is None:
-        return None
-    return {
-        "kind": p.kind,
-        "out_links": p.out_links,
-        "page_labels": p.page_labels,
-        "images": p.images,
-        "variants_json": p.variants_json,
-        **{f: p.fields.get(f) for f in _TEXT_FIELDS.values()},
-    }
+    return parse_with_rules(SYNTHETIC_RULES, page_url, text)
 
 
 # ------------------------------------------------------------- fetch stage
@@ -196,6 +124,7 @@ def parse_site_html(page_url: str, text: str) -> dict | None:
 def make_http_fetch_fn(
     transport_factory=real_http_transport,
     parse_fn=parse_site_html,
+    same_host_images: bool = True,
 ) -> Callable:
     """mapInPandas fetch stage over a live transport.
 
@@ -205,7 +134,10 @@ def make_http_fetch_fn(
     (a real transport caches its connection state module-side); page
     images are fetched through the same transport, so the politeness
     budget's per-host round cap covers them implicitly (images are
-    same-host in every reference webstore).
+    same-host in every reference webstore).  With ``same_host_images``
+    (the default) an image src pointing off the page's host is skipped —
+    image URLs are page-controlled, and the per-host budget accounting
+    assumes same-host fetches.
     """
 
     def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -229,6 +161,8 @@ def make_http_fetch_fn(
                     if parsed is not None:
                         imgs = []
                         for im in parsed["images"]:
+                            if same_host_images and urlsplit(im["src"]).netloc != host:
+                                continue
                             blob = transport(im["src"])
                             if blob is not None:
                                 imgs.append({
