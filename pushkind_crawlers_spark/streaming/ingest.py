@@ -110,12 +110,18 @@ def start_frontier_ingest(spark: SparkSession, input_dir: str,
     exactly as if the same seed set had been passed to ``__init__``;
     parity is pinned by tests/test_streaming.py.
 
-    AvailableNow + checkpoint make the ingest resumable/exactly-once
-    over input files, like the results ingest above.
+    Delivery: ``foreachBatch`` is at-least-once — a crash after the
+    store commit but before the streaming checkpoint commits replays
+    the batch.  The sink is therefore made IDEMPOTENT: the highest
+    committed ``batch_id`` per ``run_id`` is recorded in the run
+    manifest (``ingest_batches``), and a replayed batch is skipped, so
+    the store sees each batch's frontier/seen appends exactly once.
+    (The guard holds while the run manifest still carries the ingest's
+    entry — i.e. until a crawl run's own commit_round supersedes it,
+    by which point the streaming checkpoint has long since committed.)
     """
     from .. import schemas
     from ..functions.urlnorm import canonicalize_url_udf, host_of
-    from ..operators.priority import parity_priority
     from ..plans.crawl import hseg_col
     from ..store.snapshots import SnapshotStore
     from .state import stateful_seen_filter
@@ -145,7 +151,26 @@ def start_frontier_ingest(spark: SparkSession, input_dir: str,
         canon.select("url_hash", "url", "host", "ord"), n_shards
     )
 
+    sink = make_ingest_sink(spark, store, tables, run_id)
+    q = (
+        fresh.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
+
+
+def make_ingest_sink(spark: SparkSession, store, tables: dict, run_id: str):
+    """The idempotent foreachBatch sink of :func:`start_frontier_ingest`
+    (module-level so tests can replay a batch_id directly)."""
+    from ..operators.priority import parity_priority
+
     def sink(batch_df, batch_id: int) -> None:
+        state = store.read_run_state()
+        committed = (state or {}).get("ingest_batches", {}).get(run_id, -1)
+        if batch_id <= committed:
+            return  # at-least-once replay of an already-committed batch
         frontier_rows = batch_df.select(
             "url_hash", "url", "host",
             F.lit(0).alias("depth"), "ord",
@@ -160,7 +185,6 @@ def start_frontier_ingest(spark: SparkSession, input_dir: str,
             "frontier": store.table("frontier").stage(frontier_rows),
             "seen": store.table("seen").stage(seen_rows),
         }
-        state = store.read_run_state()
         if state is None:
             for name in ("results", "rejects", "images",
                          "crawl_order", "lineage"):
@@ -170,14 +194,11 @@ def start_frontier_ingest(spark: SparkSession, input_dir: str,
             parents = None
         else:
             parents = state["snapshot_ids"]
+        batches = dict((state or {}).get("ingest_batches", {}))
+        batches[run_id] = batch_id
         store.commit_round(staged, round_no=0, run_id=run_id,
                            append_tables={"frontier", "seen"},
-                           parents=parents)
+                           parents=parents,
+                           extra={"ingest_batches": batches})
 
-    q = (
-        fresh.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    return q
+    return sink

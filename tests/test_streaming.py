@@ -208,6 +208,46 @@ def test_streaming_seed_ingest_matches_batch_engine(spark, small_world, tmp_path
     assert sum(1 for u in s["seen"]) >= 2
 
 
+def test_ingest_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the store commit
+    and the streaming checkpoint replays the batch. The sink records
+    the committed batch_id in the run manifest and must skip the
+    replay — frontier/seen appends land exactly once (r4 ADVICE)."""
+    from pushkind_crawlers_spark import schemas
+    from pushkind_crawlers_spark.store.snapshots import SnapshotStore
+    from pushkind_crawlers_spark.streaming.ingest import make_ingest_sink
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    tables = {
+        "frontier": schemas.FRONTIER, "seen": schemas.SEEN,
+        "results": schemas.RESULTS, "rejects": schemas.REJECTS,
+        "images": schemas.IMAGES, "crawl_order": schemas.CRAWL_ORDER,
+        "lineage": schemas.LINEAGE,
+    }
+    for name, sch in tables.items():
+        store.table(name, sch)
+    sink = make_ingest_sink(spark, store, tables, run_id="ri")
+
+    batch = spark.createDataFrame(
+        [(1, "http://h.test/", "h.test", "0000")],
+        "url_hash long, url string, host string, ord string",
+    )
+    sink(batch, 0)
+    n0 = store.table("frontier").read(spark).count()
+    sink(batch, 0)  # replay of the SAME batch id: must be a no-op
+    assert store.table("frontier").read(spark).count() == n0
+    assert store.table("seen").read(spark).count() == n0
+    assert store.read_run_state()["ingest_batches"] == {"ri": 0}
+
+    batch2 = spark.createDataFrame(
+        [(2, "http://h.test/a", "h.test", "0001")],
+        "url_hash long, url string, host string, ord string",
+    )
+    sink(batch2, 1)  # a NEW batch id still commits
+    assert store.table("frontier").read(spark).count() == n0 + 1
+    assert store.read_run_state()["ingest_batches"] == {"ri": 1}
+
+
 def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
     """Late-data semantics pinned: an event older than the watermark
     established by a PREVIOUS micro-batch (and persisted in the
