@@ -495,9 +495,11 @@ def scaling() -> None:
     render_scaling(report)
 
 
-def render_scaling(report: dict) -> None:
+def render_scaling(report: dict, source: str | None = None) -> None:
     """Rewrite BENCH.md from a scaling report (fresh or archived JSON —
-    ``python bench.py --scaling-render bench_results/scaling_X.json``)."""
+    ``python bench.py --scaling-render bench_results/scaling_X.json``).
+    ``source`` names the raw JSON the tables render, so every number in
+    BENCH.md is traceable to one archived draw (r4 VERDICT #8)."""
     best = {int(k): v for k, v in report["best"].items()}
     calib = {int(k): v for k, v in report["calibration_units_per_s"].items()}
     io_calib = {int(k): v
@@ -511,6 +513,10 @@ def render_scaling(report: dict) -> None:
 
     lines = [
         "# BENCH — throughput scaling evidence (N vs 4N)",
+        "",
+        f"Rendered from: `{source or 'unarchived in-session run (archive the printed JSON under bench_results/)'}`"
+        " — every number below comes from that one draw; cross-draw spread"
+        " is documented in the Host-noise section.",
         "",
         "BASELINE.json requires throughput scaling efficiency >= 0.8 from N",
         "to 4N executors. No real cluster exists in this sandbox, so the same",
@@ -544,20 +550,29 @@ def render_scaling(report: dict) -> None:
         "",
         "## Components (steady-state engine inner loops)",
         "",
-        "| component | rows | local[2] | local[8] | local[32] | eff 2→8 | eff 8→32 |",
-        "|---|---|---|---|---|---|---|",
+        "Two acceptance bars are rendered SIDE BY SIDE (r4 advice: an",
+        "amended bar must not hide the original): **abs** is the original",
+        "round-3 bar — efficiency ≥0.8 absolute, the north-rule number —",
+        "and **ceil** is the round-4 amendment — ≥0.85 of the same-session",
+        "host ceiling for the cell's operation mix (write-inclusive ceiling",
+        "for write-dominated cells, CPU ceiling otherwise). A cell that",
+        "passes only `ceil` is claiming the HOST, not the plan, is the",
+        "binding resource; BASELINE.md documents the amendment's history.",
+        "",
+        "| component | rows | local[2] | local[8] | local[32] | eff 2→8 | abs ≥0.8 | vs ceiling (≥0.85) | eff 8→32 |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for comp, key in COMPONENTS:
         a, b, c = best[2][comp], best[8][comp], best[32][comp]
-        # the stated bar (BASELINE.md): >=0.8 absolute OR >=0.85 of the
-        # same-session ceiling for the cell's operation mix
         ceiling = (io28 if comp in WRITE_DOMINATED and io28 else ceil28)
-        passes = effs[comp] >= 0.8 or (ceiling and effs[comp] / ceiling >= 0.85)
-        flag = " ✅" if passes else " ⚠️"
+        abs_flag = "✅" if effs[comp] >= 0.8 else "⚠️"
+        rel = round(effs[comp] / ceiling, 2) if ceiling else None
+        ceil_flag = ("✅" if rel is not None and rel >= 0.85 else "⚠️")
         lines.append(
             f"| {comp} | {a['rows']:,} | {a['wall_s']}s ({a[key]:,}/s)"
             f" | {b['wall_s']}s ({b[key]:,}/s) | {c['wall_s']}s ({c[key]:,}/s)"
-            f" | **{effs[comp]}**{flag} | {effs32[comp]} |")
+            f" | **{effs[comp]}** | {abs_flag}"
+            f" | {rel if rel is not None else '—'} {ceil_flag} | {effs32[comp]} |")
     lines += [
         "",
         f"Ceiling-relative efficiency at 2→8 — vs the CPU ceiling {ceil28}: "
@@ -659,6 +674,6 @@ if __name__ == "__main__":
         scaling()
     elif len(sys.argv) >= 3 and sys.argv[1] == "--scaling-render":
         with open(sys.argv[2]) as _f:
-            render_scaling(json.load(_f))
+            render_scaling(json.load(_f), source=sys.argv[2])
     else:
         main()
