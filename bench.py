@@ -601,6 +601,11 @@ def render_scaling(report: dict, source: str | None = None) -> None:
         "  ~1.7-3× faster wall on one box, but its runtime is dominated by",
         "  the fixed scan+write of the candidate set, so its 2→8 ratio reads",
         "  low — that is fixed-cost amortization, not a serial bottleneck.",
+        "  Since round 5 the SHIPPING default is mode-aware",
+        "  (`seen_mode=\"auto\"`, resolve_seen_mode): anti only on local[N]",
+        "  masters; cluster masters (spark://, yarn, k8s) default to the",
+        "  sidecar path, whose scaling evidence is the row above — the",
+        "  configuration a user gets is the one the evidence covers.",
         "- **dedup_sidecar**: `seen_mode=\"sidecar\"` — the cross-round",
         "  cuckoo caching as CODE, not prose: per-shard filters maintained",
         "  incrementally (update_cuckoo_sidecar of each round's delta),",

@@ -334,6 +334,26 @@ def bloom_probe_udf(bloom: NumpyBloom):
     return probe
 
 
+def resolve_seen_mode(seen_mode: str, master: str) -> str:
+    """Resolve the engine's seen-confirm strategy from deployment mode.
+
+    ``"auto"`` (the shipping default) picks the strategy whose scaling
+    evidence exists for where the job actually runs (BENCH.md): the
+    plain JVM **anti**-join confirm is single-node optimal but fails the
+    N→4N bar (its wall is scan+write-floor-bound), so it is only the
+    default on ``local[N]`` masters; on a real cluster master
+    (spark://, yarn, k8s://) the **sidecar** path is the default — the
+    per-shard cuckoo filters persist across rounds and the seen table
+    is never rescanned wholesale, which is the configuration the
+    north-rule scaling evidence covers.
+    """
+    if seen_mode == "auto":
+        return "anti" if master.startswith("local") else "sidecar"
+    if seen_mode not in ("anti", "cuckoo", "sidecar"):
+        raise ValueError(f"seen_mode {seen_mode!r}")
+    return seen_mode
+
+
 def filter_new_urls(
     candidates: DataFrame,
     seen: DataFrame,

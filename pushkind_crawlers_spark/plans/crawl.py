@@ -55,7 +55,7 @@ from ..caching import carry, release
 from ..operators.seen import (NumpyBloom, add_to_bloom, build_cuckoo_sidecar,
                               filter_new_urls, filter_new_urls_sidecar,
                               filter_new_urls_sidecar_partitioned,
-                              update_cuckoo_sidecar)
+                              resolve_seen_mode, update_cuckoo_sidecar)
 from ..store.snapshots import SnapshotStore
 from ..synth.phash import gray32, phash64_batch
 from ..synth.worldgen import SyntheticWorld
@@ -186,7 +186,7 @@ class CrawlEngine:
         run_id: str | None = None,
         keep_images: bool = True,
         round_window_s: float | None = None,
-        seen_mode: str = "anti",
+        seen_mode: str = "auto",
         sidecar_shards: int = 32,
         sidecar_broadcast_max_bytes: int = 64 << 20,
         expire_keep_last: int | None = None,
@@ -216,10 +216,11 @@ class CrawlEngine:
         # confirm; "sidecar" = incrementally-maintained per-shard cuckoo
         # filters, snapshot-committed with the round (the cluster shape:
         # per-round dedup never rescans the seen table except to
-        # string-confirm the few filter positives)
-        if seen_mode not in ("anti", "cuckoo", "sidecar"):
-            raise ValueError(f"seen_mode {seen_mode!r}")
-        self.seen_mode = seen_mode
+        # string-confirm the few filter positives).  The default "auto"
+        # resolves by deployment mode so the shipping configuration is
+        # the one whose scaling evidence exists (r4 VERDICT wrong #1):
+        # anti on local[N] masters, sidecar on real clusters.
+        self.seen_mode = resolve_seen_mode(seen_mode, spark.sparkContext.master)
         self.sidecar_shards = sidecar_shards
         # past this total filter-blob size the sidecar probe switches from
         # driver-collected broadcast to the partitioned cogroup path

@@ -33,10 +33,11 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
     p.add_argument("--max-rounds", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--run-id", default=None)
-    p.add_argument("--seen-mode", default="anti",
-                   choices=["anti", "cuckoo", "sidecar"],
-                   help="URL-seen confirm strategy (sidecar = "
-                        "incrementally-maintained per-shard cuckoo filters)")
+    p.add_argument("--seen-mode", default="auto",
+                   choices=["auto", "anti", "cuckoo", "sidecar"],
+                   help="URL-seen confirm strategy; auto = anti on "
+                        "local[N] masters, sidecar on cluster masters "
+                        "(the mode whose scaling evidence exists)")
     p.add_argument("--sidecar-shards", type=int, default=32)
     p.add_argument("--urls", default=None,
                    help="comma-separated URL list: targeted re-fetch of "

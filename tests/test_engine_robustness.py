@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pushkind_crawlers_spark.oracle import OracleCrawler
 from pushkind_crawlers_spark.plans.crawl import CrawlEngine
 from pushkind_crawlers_spark.synth.worldgen import SyntheticWorld, WorldConfig
@@ -60,6 +62,29 @@ def test_targeted_refetch_f9(spark, tmp_path):
     # every valid product among the targets yields rows; no link expansion
     assert eng.store.table("frontier").read(spark).count() == 0
     assert {r["url"].split("#")[0] for r in results} <= set(urls)
+
+
+def test_seen_mode_auto_resolves_by_deployment(spark, small_world, tmp_path):
+    """The shipping default must be the mode whose scaling evidence
+    exists for where the job runs (r4 VERDICT wrong #1): anti on
+    local[N] (single-node optimal), sidecar on cluster masters."""
+    from pushkind_crawlers_spark.operators.seen import resolve_seen_mode
+    from pushkind_crawlers_spark.plans.crawl import CrawlEngine
+
+    # pure resolution table
+    assert resolve_seen_mode("auto", "local[8]") == "anti"
+    assert resolve_seen_mode("auto", "local[*]") == "anti"
+    assert resolve_seen_mode("auto", "spark://m:7077") == "sidecar"
+    assert resolve_seen_mode("auto", "yarn") == "sidecar"
+    assert resolve_seen_mode("auto", "k8s://https://m:443") == "sidecar"
+    # explicit modes pass through; junk fails loud
+    assert resolve_seen_mode("cuckoo", "local[8]") == "cuckoo"
+    with pytest.raises(ValueError):
+        resolve_seen_mode("bloomy", "local[8]")
+
+    # an engine built with the default on this (local) session gets anti
+    eng = CrawlEngine(spark, small_world, str(tmp_path / "s"))
+    assert eng.seen_mode == "anti"
 
 
 def test_seen_mode_upgrade_on_resume(spark, tmp_path):
