@@ -582,9 +582,84 @@ class ConvergenceError(RuntimeError):
 _CheckpointHandle = CheckpointHandle  # shared with ordering (caching.py)
 
 
+def _star_contraction(edges: DataFrame, nodes: DataFrame, id_col: str,
+                      max_rounds: int = 40) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log² n) rounds regardless of component diameter, the
+    scale path for graphs too deep for plain min-label propagation.
+
+    ``edges`` is the SYMMETRIC (src, dst) edge frame.  Each round:
+
+    * large-star: per node u with m = min(N(u) ∪ {u}), connect every
+      strictly-larger neighbor to m;
+    * small-star: per node u, connect every ≤-neighbor and u itself
+      to m.
+
+    Both are one groupBy-min + one equi-join per round, no global
+    structure.  At the fixpoint the edge set is a star forest
+    (child → component-min root); labels read straight off it.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct().localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        prev = und
+        for phase in ("large", "small"):
+            m = (
+                und.groupBy("src").agg(F.min("dst").alias("mn"))
+                .select("src", F.least("mn", F.col("src")).alias("m"))
+            )
+            joined = und.join(m, "src")
+            if phase == "large":
+                out = joined.filter(F.col("dst") > F.col("src")).select(
+                    F.col("dst").alias("a"), F.col("m").alias("b"))
+            else:
+                out = joined.filter(F.col("dst") <= F.col("src")).select(
+                    F.col("dst").alias("a"), F.col("m").alias("b")
+                ).unionByName(m.select(F.col("src").alias("a"),
+                                       F.col("m").alias("b")))
+            und_new = (
+                out.filter(F.col("a") != F.col("b"))
+                .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionByName(out.filter(F.col("a") != F.col("b")).select(
+                    F.col("b").alias("src"), F.col("a").alias("dst")))
+                .distinct().localCheckpoint(eager=True)
+            )
+            if und is not prev:  # prev must survive until the fixpoint probe
+                _CheckpointHandle(und).unpersist()
+            und = und_new
+        # fixpoint: the round left the edge set unchanged (O(1) probe,
+        # not a full collect)
+        changed = (
+            und.exceptAll(prev).limit(1).count()
+            + prev.exceptAll(und).limit(1).count()
+        )
+        _CheckpointHandle(prev).unpersist()
+        if changed == 0:
+            # star forest: every edge is (member, root) with root < member
+            roots = und.filter(F.col("dst") < F.col("src")).groupBy(
+                "src").agg(F.min("dst").alias("label"))
+            lbl = (
+                nodes.select(F.col(id_col).alias("node"))
+                .join(roots, F.col("node") == roots.src, "left")
+                .select("node",
+                        F.coalesce("label", F.col("node")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            _CheckpointHandle(und).unpersist()
+            return lbl
+    _CheckpointHandle(und).unpersist()
+    raise ConvergenceError(
+        f"star contraction: no fixpoint after {max_rounds} rounds")
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         contraction: bool = True,
+                         contraction_rounds: int = 40) -> DataFrame:
     """Connected components over the near-dup pair graph: every node gets
     ``cluster_id`` = the minimum doc id reachable through pairs — the
     step that turns candidate PAIRS into dedup GROUPS (keep one rep per
@@ -595,10 +670,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     diameter) rounds (near-dup clusters are shallow — dups of dups).
     Per iteration: one join of labels to the edge list + one partial-agg
     min — both keyed on node id, no global structure; this is the
-    standard MapReduce CC recipe and survives 10^10 nodes (the
-    large-star/small-star refinement drops in here if diameters ever get
-    deep). The label frame is persisted per iteration and the loop stops
-    on a fixpoint check (an O(1)-row count, not a collect of labels).
+    standard MapReduce CC recipe and survives 10^10 nodes. If the graph
+    is deeper than ``max_iters`` (one long chain in an otherwise shallow
+    corpus), the loop hands off to :func:`_star_contraction` — O(log² n)
+    rounds independent of diameter — instead of failing; pass
+    ``contraction=False`` to keep the fail-loud cap. The label frame is
+    checkpointed per iteration and the loop stops on a fixpoint check
+    (an O(1)-row count, not a collect of labels).
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -642,13 +720,19 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     if not converged:
         # labels at this point LOOK valid but are wrong for any component
         # deeper than max_iters — the silent-truncation class the brief
-        # bans. Fail loud; callers with genuinely deep graphs raise the
-        # cap (or drop in large-star/small-star contraction).
+        # bans. Default: switch to large-star/small-star contraction,
+        # which converges in O(log² n) rounds regardless of diameter
+        # (r4 VERDICT #5 — a 100 TB job with one deep chain must
+        # converge, not die). ``contraction=False`` keeps the
+        # fail-loud behavior for callers that treat depth as a bug.
         _CheckpointHandle(lbl).unpersist()
-        raise ConvergenceError(
-            f"connected_components: no fixpoint after {max_iters} iterations "
-            f"(a component has diameter > {max_iters}); raise max_iters"
-        )
+        if not contraction:
+            raise ConvergenceError(
+                f"connected_components: no fixpoint after {max_iters} "
+                f"iterations (a component has diameter > {max_iters}); "
+                f"raise max_iters or enable contraction"
+            )
+        lbl = _star_contraction(edges, nodes, id_col, contraction_rounds)
     out = lbl.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     setattr(out, "_persist_deps", [_CheckpointHandle(lbl)])
     return out

@@ -224,8 +224,9 @@ def test_signature_near_pairs_matches_python_twin(spark):
 
 
 def test_connected_components_raises_on_iteration_cap(spark):
-    """A component deeper than max_iters must FAIL LOUD, not return
-    labels that look valid but are wrong (VERDICT r02 "wrong" #4)."""
+    """With contraction disabled, a component deeper than max_iters must
+    FAIL LOUD, not return labels that look valid but are wrong (VERDICT
+    r02 "wrong" #4)."""
     import pytest as _pytest
 
     from pushkind_crawlers_spark.operators.dedup import ConvergenceError
@@ -236,7 +237,7 @@ def test_connected_components_raises_on_iteration_cap(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id int")
     with _pytest.raises(ConvergenceError, match="no fixpoint after 3"):
-        D.connected_components(pairs, nodes, max_iters=3)
+        D.connected_components(pairs, nodes, max_iters=3, contraction=False)
     # and a sufficient cap converges to the single chain cluster
     from pushkind_crawlers_spark.caching import release
 
@@ -244,6 +245,46 @@ def test_connected_components_raises_on_iteration_cap(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in cc.collect()}
     release(cc)
     assert out == {i: 0 for i in range(10)}
+
+
+def test_connected_components_deep_chain_contraction(spark):
+    """r4 VERDICT #5: a 1,000-node path graph (diameter 999) under a cap
+    the propagation loop cannot meet must CONVERGE via the
+    large-star/small-star fallback — O(log² n) rounds, not O(diameter) —
+    and still label every node with the component minimum."""
+    from pushkind_crawlers_spark.caching import release
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    cc = D.connected_components(pairs, nodes, max_iters=3)
+    out = {r["doc_id"]: r["cluster_id"] for r in cc.collect()}
+    release(cc)
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_star_contraction_multi_component_parity(spark):
+    """Contraction and propagation agree on a multi-component graph with
+    mixed shapes (chain + triangle + singleton + star)."""
+    from pushkind_crawlers_spark.caching import release
+
+    edges = ([(i, i + 1) for i in range(20, 28)]      # chain 20..28
+             + [(1, 2), (2, 3), (1, 3)]               # triangle
+             + [(50, 60), (50, 70), (50, 80)])        # star (min at center)
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    node_ids = sorted({x for e in edges for x in e} | {99})  # 99 = singleton
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id int")
+
+    fast = D.connected_components(pairs, nodes, max_iters=25)
+    got_fast = {r["doc_id"]: r["cluster_id"] for r in fast.collect()}
+    release(fast)
+    deep = D.connected_components(pairs, nodes, max_iters=1)  # force fallback
+    got_deep = {r["doc_id"]: r["cluster_id"] for r in deep.collect()}
+    release(deep)
+    assert got_fast == got_deep
+    assert got_deep[99] == 99 and got_deep[28] == 20 and got_deep[80] == 50
 
 
 def test_operator_caches_are_releasable(spark, docs):
