@@ -664,8 +664,112 @@ def render_scaling(report: dict, source: str | None = None) -> None:
         "the scale-relevant measurement.",
         "",
     ]
+    lines += _render_ann_recall()
+    lines += _render_skew_evidence()
     with open(os.path.join(os.path.dirname(__file__), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
+
+
+def _newest(pattern: str):
+    import glob
+
+    files = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results", pattern)),
+        key=os.path.getmtime)
+    if not files:
+        return None, None
+    with open(files[-1]) as f:
+        return os.path.basename(files[-1]), json.load(f)
+
+
+def _render_ann_recall() -> list[str]:
+    """ANN recall@k curves from the newest scripts/ann_recall.py archive
+    (VERDICT r04 #4: recall-justified n_planes / n_probe defaults)."""
+    src, rep = _newest("ann_recall_*.json")
+    if rep is None:
+        return []
+    c = rep["corpus"]
+    lines = [
+        "## ANN recall@10 vs brute force",
+        "",
+        f"Rendered from: `bench_results/{src}` (scripts/ann_recall.py;",
+        f"{c['n']:,} L2-normalized {c['dim']}-d vectors in {c['clusters']}",
+        f"Gaussian clusters, {c['queries']} perturbed-member queries, k={c['k']};",
+        "the sf0.1 embeddings table is 2k rows — too small to separate",
+        f"the curves). Brute force: {rep['brute_force_s_per_query']}s/query.",
+        "candidate-fraction = share of the corpus scored, i.e. the read",
+        "saving partition pruning buys at 100 TB.",
+        "",
+        "| method | params | recall@10 | candidate fraction | s/query |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rep["lsh"]:
+        lines.append(
+            f"| LSH | n_planes={r['n_planes']}, multiprobe={r['multiprobe']}"
+            f" | {r['recall_at_10']} | {r['candidate_fraction']}"
+            f" | {r['s_per_query']} |")
+    for r in rep["ivf"]:
+        lines.append(
+            f"| IVF | n_centroids={r['n_centroids']}, n_probe={r['n_probe']}"
+            f" | {r['recall_at_10']} | {r['candidate_fraction']}"
+            f" | {r['s_per_query']} |")
+    lines += [
+        "",
+        "Read of the curve: on a clustered corpus (the realistic shape)",
+        "**IVF dominates** — n_probe=2 of 64 centroids reaches recall 1.0",
+        "scanning ~4% of the corpus, so `ann_ivf_topk(n_centroids=64,",
+        "n_probe=2)` is the recommended top-k scale path (the reference's",
+        "usearch HNSW quality default plays the same role,",
+        "src/processing/embedding.rs:82-89). Single-table hyperplane LSH",
+        "recall decays fast with n_planes (0.06-0.65 here) — as the",
+        "literature predicts, one table is NOT a top-k structure; the",
+        "engine therefore uses hyperplane LSH only for near-dup BLOCKING",
+        "(embedding_neardup), where a missed candidate costs one duplicate",
+        "kept, and ann_lsh_topk documents multiprobe as recall relief.",
+        "",
+    ]
+    return lines
+
+
+def _render_skew_evidence() -> list[str]:
+    """Hot-bucket skew draw from the newest scripts/skew_evidence.py
+    archive (VERDICT r04 #7)."""
+    src, rep = _newest("skew_lsh_*.json")
+    if rep is None:
+        return []
+    hot, uni, forced = rep["runs"]["hot"], rep["runs"]["uniform"], rep["forced_split"]
+    return [
+        "## Hot-bucket skew (LSH pair joins)",
+        "",
+        f"Rendered from: `bench_results/{src}` (scripts/skew_evidence.py;",
+        f"{rep['n_docs']:,} docs, one near-dup cluster holding",
+        f"{int(rep['hot_frac'] * 100)}% of them — the boilerplate/mirror shape).",
+        "",
+        "| corpus | confirmed pairs | wall | cartesian-free | AQE split fired (default conf) |",
+        "|---|---|---|---|---|",
+        f"| hot | {hot['confirmed_pairs']:,} | {hot['wall_s']}s"
+        f" | {hot['cartesian_free']} | {hot['skew_split_fired_default_conf']} |",
+        f"| uniform | {uni['confirmed_pairs']:,} | {uni['wall_s']}s"
+        f" | {uni['cartesian_free']} | {uni['skew_split_fired_default_conf']} |",
+        "",
+        "At sandbox scale the hot bucket's shuffle partition is KBs —",
+        "far below the 256 MB default skew threshold, so AQE correctly",
+        "leaves it alone (the honest default-conf answer above). The",
+        "mitigation itself is pinned by a thresholds-scaled run of the",
+        "same join expression (and by tests/test_skew.py in CI):",
+        f"{forced['rows']:,} joined rows, wall {forced['wall_s']}s, split",
+        f"fired = {forced['skew_split_fired']}:",
+        "",
+        "```",
+        *[f"  {ln}" for ln in forced["plan_evidence"]],
+        "```",
+        "",
+        "At 100 TB a 10%-hot bucket is tens of GB in one partition;",
+        "AQE's default thresholds (256 MB / 5× median) fire without any",
+        "tuning, splitting it across advisory-sized reads — the engine",
+        "ships `spark.sql.adaptive.skewJoin.enabled=true` (session.py).",
+        "",
+    ]
 
 
 if __name__ == "__main__":

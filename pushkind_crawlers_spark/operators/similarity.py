@@ -276,6 +276,12 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     At 100 TB the bucket column is precomputed and the table is
     partitioned by it — the query then touches only matching partitions
     (partition pruning) instead of a full scan.
+
+    Recall caveat (measured, BENCH.md "ANN recall@10": 0.06-0.65 on a
+    100k clustered corpus): a SINGLE hyperplane table is a blocking
+    structure, not a top-k structure — keep ``multiprobe>=1``, and for
+    recall-critical top-k prefer :func:`ann_ivf_topk`, which reaches
+    recall 1.0 at ~4% scan on the same corpus.
     """
     q = np.asarray(query_vec, dtype=np.float64)
     planes = hyperplanes(len(query_vec), n_planes, seed)
@@ -340,7 +346,11 @@ def ann_ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
     At 100 TB the centroid column is precomputed and the table partitioned
     by it — a query prunes to n_probe/n_centroids of the data before any
-    scan (partition pruning), which is IVF's entire point.
+    scan (partition pruning), which is IVF's entire point.  Measured
+    recall (BENCH.md "ANN recall@10", 100k clustered corpus): recall 1.0
+    from n_probe=1 of 64 centroids (~2% scanned) — the recommended
+    top-k scale path; sized like the reference's recall-tuned usearch
+    defaults (src/processing/embedding.rs:82-89).
 
     The training sample is the first ``sample_n`` rows by id (TakeOrdered
     — a bounded, DETERMINISTIC collect; a bare limit() samples whatever
