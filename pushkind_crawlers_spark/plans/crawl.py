@@ -287,10 +287,12 @@ class CrawlEngine:
         self._site_dim = F.broadcast(
             spark.createDataFrame(
                 [
-                    (hc.host, hc.idx, hc.page_param, hc.last_page_rule)
+                    (hc.host, hc.idx, hc.page_param, hc.last_page_rule,
+                     getattr(hc, "amount_source", "combined"))
                     for hc in (world.host_config(h) for h in world.cfg.hosts())
                 ],
-                "host string, crawler_id int, page_param string, last_page_rule string",
+                "host string, crawler_id int, page_param string, "
+                "last_page_rule string, amount_source string",
             )
         )
 
@@ -720,7 +722,9 @@ class CrawlEngine:
     def _build_results(self, products: DataFrame, round_no: int):
         """S1-S4 + F7: parse raw strings, validate, explode variants."""
         base = (
-            products.join(self._site_dim.select("host", "crawler_id"), "host", "left")
+            products.join(
+                self._site_dim.select("host", "crawler_id", "amount_source"),
+                "host", "left")
             .withColumn("price", price_col(F.col("price_str")))
             .withColumn(
                 "image_ids",
@@ -737,23 +741,46 @@ class CrawlEngine:
         no_var = base.filter(
             F.col("variants_json").isNull() | (F.col("variants_json") == "")
         )
+        # per-site amount source (SURVEY §2.6): 'combined' parses "150 г"
+        # out of one string (S2); 'spans' sites carry a bare number in
+        # amount_str and the units verbatim in units_raw — the reference
+        # parses the numeric span with ','->'.' + space strip and a 0.0
+        # default (wintergreen.rs:261-274, tea101.rs:259-272)
+        spans_amount = F.coalesce(
+            F.regexp_replace(F.translate(F.col("amount_str"), ",", "."),
+                             r"[\s ]+", "").try_cast("double"),
+            F.lit(0.0),
+        )
+        is_spans = F.col("amount_source") == "spans"
         plain = (
-            no_var.withColumn("amount", amount_col(F.col("amount_str")))
-            .withColumn("units", units_col(F.col("amount_str")))
+            no_var.withColumn(
+                "amount",
+                F.when(is_spans, spans_amount)
+                .otherwise(amount_col(F.col("amount_str"))),
+            )
+            .withColumn(
+                "units",
+                F.when(is_spans, F.col("units_raw"))
+                .otherwise(units_col(F.col("amount_str"))),
+            )
             .withColumn("out_url", F.col("url"))
         )
+        # S6: entity-decode before parse (rusteaco.rs:275) — the embedded
+        # JSON may arrive HTML-escaped; JVM replace chain. Shape: the real
+        # store wraps the list in an object ({"variants":[...]} —
+        # rusteaco.rs ProductJson), some feeds emit the bare array; accept
+        # both (whichever schema doesn't match parses to NULL).
+        _unescaped = unescape_entities_col(F.col("variants_json"))
+        _variants = F.coalesce(
+            F.from_json(
+                _unescaped,
+                T.StructType([T.StructField(
+                    "variants", T.ArrayType(schemas.VARIANT))]),
+            )["variants"],
+            F.from_json(_unescaped, T.ArrayType(schemas.VARIANT)),
+        )
         exploded = (
-            has_var.withColumn(
-                "variant",
-                # S6: entity-decode before parse (rusteaco.rs:275) — the
-                # embedded JSON may arrive HTML-escaped; JVM replace chain
-                F.explode(
-                    F.from_json(
-                        unescape_entities_col(F.col("variants_json")),
-                        T.ArrayType(schemas.VARIANT),
-                    )
-                ),
-            )
+            has_var.withColumn("variant", F.explode(_variants))
             .withColumn("sku", F.col("variant.sku"))
             .withColumn("price", F.col("variant.price"))
             .withColumn("amount", amount_col(F.col("variant.title")))

@@ -198,6 +198,13 @@ class SiteRules:
     variants: Optional[FieldRule] = None    # attr=None → element text (script)
     strip_text: bool = True                 # reference .trim()s real-site text
     kind_rule: str = "infer"                # 'infer' | 'body-class'
+    #: how the site expresses quantity (SURVEY §2.6 "Amount source"):
+    #: 'combined' = one string like "150 г" through parse_amount_units
+    #: (gutenberg/rusteaco/teanadin, gutenberg.rs:246-253); 'spans' =
+    #: separate numeric + units elements, amount parsed as a plain
+    #: number and units taken verbatim (wintergreen.rs:253-274,
+    #: tea101.rs:251-272)
+    amount_source: str = "combined"
 
 
 def _tf(**kw) -> dict:
@@ -224,6 +231,7 @@ SITE_RULES = {
         ),
         category=FieldRule("a.breadcrumbs__link", many=True),
         images=FieldRule("img.product-detail-gallery__picture", attr="data-src", many=True),
+        amount_source="spans",
     ),
     # gutenberg.rs:34 base; 66 menu; 89-95 pagination (div.nums > a);
     # 142 product links; 206-253 fields (combined amount+units in
@@ -257,6 +265,7 @@ SITE_RULES = {
             amount_str="span.js-product-calc-value",
         ),
         category=FieldRule("a.breadcrumbs__list-link", many=True),
+        amount_source="spans",
     ),
     # rusteaco.rs:72 base; 104 menu; 127-133 pagination; 180 product
     # links; 244-311 fields; variants JSON in form.product

@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..plans.site_rules import SITE_RULES, SiteRules
+from .worldgen import make_image_bytes
 
 
 @dataclass
@@ -247,7 +248,11 @@ def build_fixture(site: str) -> FixtureSite:
         fx.pages[url] = html
         fx.expect[url] = exp
         for img_url in exp["images"]:
-            fx.images[img_url] = f"img-bytes:{img_url}".encode()
+            # real decodable PNG bytes — the engine decodes stored images
+            # for phash novelty, so a fixture image must be a real image
+            fx.images[img_url] = make_image_bytes(
+                seed=13, image_id=img_url.rsplit("/", 1)[-1],
+                sizes=(32,), fmt="png")
     return fx
 
 

@@ -72,6 +72,11 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
                    help="scope benchmark/category jobs to one hub's "
                         "crawlers (crawlers table; src/repository/"
                         "crawler.rs:21-37)")
+    p.add_argument("--real-sites", action="store_true",
+                   help="crawl the five reference webstores over live "
+                        "HTTP (site dim + selectors from "
+                        "plans/site_rules.py SITE_RULES) instead of the "
+                        "synthetic world")
     args = p.parse_args(argv)
 
     # session comes from spark-submit (master/deploy-mode/conf on the CLI)
@@ -125,17 +130,29 @@ def main(argv: list[str], _stop_session: bool = True) -> None:
             spark.stop()
         return
 
-    world = SyntheticWorld(
-        WorldConfig(seed=args.seed, n_hosts=args.hosts, budget_scale=args.budget_scale)
-    )
     seeds = ([u for u in args.urls.split(",") if u]
              if args.urls is not None else None)
-    engine = CrawlEngine(spark, world, args.store, run_id=args.run_id,
-                         seeds=seeds,
-                         seen_mode=args.seen_mode,
-                         sidecar_shards=args.sidecar_shards,
-                         expire_keep_last=args.expire_keep_last,
-                         compact_every=args.compact_every)
+    if args.real_sites:
+        from pushkind_crawlers_spark.plans.real_sites import real_site_engine
+
+        engine = real_site_engine(
+            spark, args.store, budget_scale=args.budget_scale,
+            run_id=args.run_id, seeds=seeds,
+            seen_mode=args.seen_mode,
+            sidecar_shards=args.sidecar_shards,
+            expire_keep_last=args.expire_keep_last,
+            compact_every=args.compact_every)
+    else:
+        world = SyntheticWorld(
+            WorldConfig(seed=args.seed, n_hosts=args.hosts,
+                        budget_scale=args.budget_scale)
+        )
+        engine = CrawlEngine(spark, world, args.store, run_id=args.run_id,
+                             seeds=seeds,
+                             seen_mode=args.seen_mode,
+                             sidecar_shards=args.sidecar_shards,
+                             expire_keep_last=args.expire_keep_last,
+                             compact_every=args.compact_every)
     with RunLock(SnapshotStore(args.store)):  # G1/G2 single-writer guard
         run = engine.run(max_rounds=args.max_rounds, resume=args.resume)
     print(json.dumps({
