@@ -455,7 +455,7 @@ COMPONENTS = (("sched_fetch", "urls_per_sec"),
 WRITE_DOMINATED = {"dedup", "dedup_anti", "dedup_sidecar"}
 
 
-def scaling() -> None:
+def scaling(out_path: str | None = None) -> None:
     calib = _calibrate_box()
     io_calib = _calibrate_io()
     with tempfile.TemporaryDirectory() as tmp:
@@ -492,7 +492,12 @@ def scaling() -> None:
               "efficiency_2_to_8": effs, "efficiency_8_to_32": effs32,
               "e2e_local32": e2e, "target": 0.8}
     print(json.dumps(report))
-    render_scaling(report)
+    out = out_path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_results", "scaling_latest.json")
+    with open(out, "w") as f:  # archive the raw draw, never rely on stdout
+        json.dump(report, f, indent=1)
+    render_scaling(report, source=out)
 
 
 def render_scaling(report: dict, source: str | None = None) -> None:
@@ -780,7 +785,7 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 2 and sys.argv[1] == "--scaling-worker":
         print(json.dumps(scaling_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])))
     elif len(sys.argv) >= 2 and sys.argv[1] == "--scaling":
-        scaling()
+        scaling(sys.argv[2] if len(sys.argv) >= 3 else None)
     elif len(sys.argv) >= 3 and sys.argv[1] == "--scaling-render":
         with open(sys.argv[2]) as _f:
             render_scaling(json.load(_f), source=sys.argv[2])

@@ -137,3 +137,39 @@ def test_cli_real_sites_flag(spark, tmp_path, capsys, monkeypatch):
     # all five stores' fixture pages scheduled (4 pages + 1 generated page-2
     # URL per site = 25)
     assert out["urls_scheduled"] == 25
+
+
+def test_robots_enforced_on_real_store_path(spark, tmp_path):
+    """robots.txt flows through the production transport seam
+    (http_robots_txt_fn GETs http://host/robots.txt via the same
+    transport as pages): a Disallow prefix keeps the matching product
+    off the frontier, visible as robots_rejected lineage."""
+    fx = build_fixture("wintergreen")
+    blocked = fx.product_urls[1]                      # /catalog/tea/p2/
+    robots_url = f"http://{fx.rules.host}/robots.txt"
+    robots = ("User-agent: bing\nDisallow: /\n\n"     # decoy section
+              "User-agent: *\nDisallow: /catalog/tea/p2/\n")
+
+    def factory():
+        def get(url: str):
+            if url == robots_url:
+                return robots.encode()
+            if url in fx.images:
+                return fx.images[url]
+            page = fx.pages.get(url)
+            return page.encode() if page is not None else None
+        return get
+
+    eng = real_site_engine(
+        spark, str(tmp_path / "rob"), transport_factory=factory,
+        rules_by_host={fx.rules.host: fx.rules}, budget_scale=8)
+    eng.run()
+    crawled = {r["url"] for r in
+               eng.store.table("crawl_order").read(spark).collect()}
+    assert blocked not in crawled
+    assert fx.product_urls[0] in crawled              # sibling unaffected
+    lineage = eng.store.table("lineage").read(spark).collect()
+    assert sum(r["robots_rejected"] for r in lineage) >= 1
+    result_urls = {r["url"].split("#")[0] for r in
+                   eng.store.table("results").read(spark).collect()}
+    assert blocked not in result_urls
