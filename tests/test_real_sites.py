@@ -173,3 +173,38 @@ def test_robots_enforced_on_real_store_path(spark, tmp_path):
     result_urls = {r["url"].split("#")[0] for r in
                    eng.store.table("results").read(spark).collect()}
     assert blocked not in result_urls
+
+
+def test_real_store_resume_equals_uninterrupted(spark, tmp_path):
+    """North-rule resumability on the PRODUCTION path: a real-store
+    crawl stopped after round 1 and resumed by a fresh engine equals
+    the uninterrupted run (order, seen, results)."""
+    _, factory = _fixtures_and_transport()
+    root_a = str(tmp_path / "interrupted")
+    eng_a = real_site_engine(spark, root_a, transport_factory=factory,
+                             budget_scale=8, run_id="rs")
+    eng_a.run(max_rounds=1)
+    eng_a2 = real_site_engine(spark, root_a, transport_factory=factory,
+                              budget_scale=8, run_id="rs")
+    eng_a2.run(resume=True)
+
+    root_b = str(tmp_path / "straight")
+    eng_b = real_site_engine(spark, root_b, transport_factory=factory,
+                             budget_scale=8, run_id="rs2")
+    eng_b.run()
+
+    def snap(eng):
+        return {
+            "order": [(r["seq"], r["url"]) for r in
+                      eng.store.table("crawl_order").read(spark)
+                      .orderBy("seq").collect()],
+            "seen": sorted(r["url"] for r in
+                           eng.store.table("seen").read(spark).collect()),
+            "results": sorted((r["url"], r["sku"], r["price"]) for r in
+                              eng.store.table("results").read(spark).collect()),
+        }
+
+    a, b = snap(eng_a2), snap(eng_b)
+    assert a["order"] == b["order"]
+    assert a["seen"] == b["seen"]
+    assert a["results"] == b["results"]
