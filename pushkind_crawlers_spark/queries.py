@@ -248,15 +248,21 @@ FROM lineitem GROUP BY l_suppkey
 
 def first_wins_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """F4/F8 first-wins dedup: first lineitem per orderkey in linenumber
-    order (the crawl's discovery-order dedup as a window)."""
+    order (the crawl's discovery-order dedup).
+
+    r06 shape (guide §2.3 — aggregate before you shuffle): the window's
+    row_number()=1 is exactly min(struct(ordering cols)) per key —
+    struct comparison is lexicographic — so a partial-agg groupBy
+    replaces shuffle-the-table + two sorts (the r05 plan was
+    Sort→WindowGroupLimit→Exchange→Sort→Window); map-side combine
+    collapses each order's lines before the exchange."""
     li = load(spark, sf, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey"
+    first = li.groupBy("l_orderkey").agg(
+        F.min(F.struct("l_linenumber", "l_partkey", "l_suppkey")).alias("s")
     )
-    return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_linenumber")
+    return first.select(
+        "l_orderkey", F.col("s.l_partkey").alias("l_partkey"),
+        F.col("s.l_linenumber").alias("l_linenumber"),
     )
 
 
@@ -1785,25 +1791,30 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     nondeterministic; the linear variant is exact IEEE division on both).
     Scores are rounded to 4dp BEFORE ranking so both engines rank
     identical values; ties break on the term string."""
+    from .caching import carry, scoped_persist
+
     docs = load(spark, sf, "documents")
     n_docs = docs.count()  # O(1) driver scalar, footer-countable at scale
-    toks = docs.select(
+    toks = D.spread_narrow_scan(docs, "doc_id").select(
         "doc_id", F.explode(X.tokens_col(F.col("text"))).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
-        F.count("*").alias("df")
-    )
+    # tf feeds both the score and the document frequency: (doc_id, tok)
+    # is unique after the aggregation, so df = tf.groupBy(tok).count() —
+    # the r05 plan re-exploded the corpus and paid a distinct exchange
+    # for df (guide §2.4: two ops keyed the same way share one pass)
+    tf = scoped_persist(toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = tf.join(df_, "tok").withColumn(
         "tfidf",
         F.round((F.col("tf") * F.lit(float(n_docs))) / F.col("df"), 4),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", "tfidf", "rank")
     )
+    return carry(out, tf)
 
 
 SQL_TFIDF = """
