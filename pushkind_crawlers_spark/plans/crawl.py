@@ -19,6 +19,7 @@ resumable checkpoint the north rule requires.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
@@ -162,6 +163,11 @@ class RoundMetrics:
     links_new: int = 0
     results_rows: int = 0
     wall_s: float = 0.0
+    # per-phase wall decomposition (r06, guide §1): each entry is the
+    # time from the previous staging barrier to this one — the driver
+    # latency + job wall of that phase. Rendered by
+    # scripts/crawl_phases.py into BENCH-able evidence.
+    phases: dict[str, float] = field(default_factory=dict)
 
 
 @dataclass
@@ -365,21 +371,32 @@ class CrawlEngine:
         seen0 = frontier0.select(
             "url_hash", "url", "host", F.lit(0).alias("discovered_round")
         )
-        staged = {
-            "frontier": self.store.table("frontier").stage(frontier0),
-            "seen": self.store.table("seen").stage(seen0),
-        }
+        # r06: stage the 7-8 round-0 snapshots concurrently (same pattern
+        # as the round's delta pool — sequential staging paid one ~0.4 s
+        # job latency per table) and seed the bloom from the staged seen
+        # files driver-side instead of a Spark collect job.
+        from concurrent.futures import ThreadPoolExecutor
+
+        to_stage: dict[str, DataFrame] = {"frontier": frontier0, "seen": seen0}
         if self.seen_mode == "sidecar":
-            staged["seen_sidecar"] = self.store.table("seen_sidecar").stage(
-                build_cuckoo_sidecar(seen0, self.sidecar_shards)
-            )
+            to_stage["seen_sidecar"] = build_cuckoo_sidecar(
+                seen0, self.sidecar_shards)
         for name in ("results", "rejects", "images", "crawl_order", "lineage"):
-            staged[name] = self.store.table(name).stage(
-                self.spark.createDataFrame([], self._tables[name])
-            )
+            to_stage[name] = self.spark.createDataFrame([], self._tables[name])
+        with ThreadPoolExecutor(max_workers=len(to_stage)) as ex:
+            futs = {name: ex.submit(self.store.table(name).stage, df)
+                    for name, df in to_stage.items()}
+            staged = {name: f.result() for name, f in futs.items()}
         self.store.commit_round(staged, round_no=0, run_id=self.run_id)
         if self.bloom is not None:
-            add_to_bloom(self.bloom, seen0, "url_hash")
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            for f in _glob.glob(os.path.join(staged["seen"][0], "*.parquet")):
+                t = _pq.read_table(f, columns=["url_hash"])
+                self.bloom.add(
+                    t["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64))
 
     def _read_state(self) -> tuple[dict, dict[str, DataFrame]]:
         state = self.store.read_run_state()
@@ -427,6 +444,13 @@ class CrawlEngine:
     def _run_round(self, round_no: int, state: dict, dfs: dict[str, DataFrame]) -> RoundMetrics:
         frontier, seen = dfs["frontier"], dfs["seen"]
         m = RoundMetrics(round=round_no)
+        _t = time.time()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t
+            now = time.time()
+            m.phases[phase] = round(now - _t, 3)
+            _t = now
 
         # ---- axis B: politeness budget truncation (host-salted) ----------
         splits = host_splits(frontier)
@@ -436,6 +460,7 @@ class CrawlEngine:
             round_window_s=self.round_window_s,
         )
         scheduled, m.scheduled = self._stage_df(scheduled, round_no, "scheduled")
+        _mark("schedule")
         if m.scheduled == 0:
             # frontier rows exist but nothing schedulable -> terminate cleanly
             staged = {"frontier": self.store.table("frontier").stage(frontier.limit(0))}
@@ -472,17 +497,28 @@ class CrawlEngine:
             .mapInPandas(self._fetch_fn, schemas.FETCHED)
         )
         fetched, _ = self._stage_df(fetched, round_no, "fetched")
+        _mark("fetch")
 
         # ---- results: parse + validate + variant explosion ----------------
+        from concurrent.futures import ThreadPoolExecutor
+
         products = fetched.filter((F.col("kind") == "product") & F.col("ok"))
-        results_new, rejects_new = self._build_results(products, round_no)
+        results_parsed, rejects_new = self._build_results(products, round_no)
         # stage straight into the results table's data dir — the commit
-        # publishes this same directory, so the round writes results once
-        results_staged = self.store.table("results").stage(results_new)
-        results_new = self.spark.read.schema(schemas.RESULTS).parquet(results_staged[0])
+        # publishes this same directory, so the round writes results once.
+        # r06 (guide §2.6 — overlap independent jobs): the results branch
+        # and the link-discovery branch both read only the staged
+        # `fetched` parquet, so the results staging job runs on a driver
+        # thread WHILE the image/discovery/seen chain proceeds; the
+        # future resolves before lineage (which reads the staged rows).
+        # At bench scale this hides ~1.5 s/round of pure job wall.
+        results_pool = ThreadPoolExecutor(max_workers=1)
+        results_future = results_pool.submit(
+            self.store.table("results").stage, results_parsed)
         rejects_val = rejects_new.select(
             "url", "host", "reject_reason", F.lit(round_no).alias("round")
         )
+        _mark("parse_results")
 
         # ---- images: decode + phash (input_hint columns) ------------------
         # every fetched page's imagery (products + category banners); the
@@ -502,10 +538,12 @@ class CrawlEngine:
             images_new = decoded.select(*[f.name for f in schemas.IMAGES.fields])
         else:
             images_new = self.spark.createDataFrame([], schemas.IMAGES)
+        _mark("image_decode")
 
         # ---- link discovery ----------------------------------------------
         candidates = self._discover_links(fetched, round_no)
         candidates, m.links_discovered = self._stage_df(candidates, round_no, "candidates")
+        _mark("link_discovery")
         discovered_by_host = candidates.groupBy("host").agg(
             F.count("*").alias("links_discovered")
         )
@@ -555,6 +593,7 @@ class CrawlEngine:
                                        confirm=self.seen_mode)
         new_links, _ = self._stage_df(filtered, round_no, "new_links")
         release(filtered)  # probe caches served their terminal write
+        _mark("seen_filter")
         allowed, robots_rejected = split_by_robots(new_links, self._robots_df)
 
         # ---- priority scoring (Arrow UDFs unless parity fast path) --------
@@ -615,6 +654,10 @@ class CrawlEngine:
         )
 
         # ---- lineage metrics per host -------------------------------------
+        results_staged = results_future.result()  # overlap ends here
+        results_pool.shutdown()
+        results_new = self.spark.read.schema(schemas.RESULTS).parquet(results_staged[0])
+        _mark("results_stage_wait")
         lineage_new = self._build_lineage(
             round_no, scheduled, fetched, discovered_by_host, allowed,
             robots_rejected, results_new, rejects_val,
@@ -638,8 +681,6 @@ class CrawlEngine:
         # Spark schedules jobs from multiple driver threads fine; the
         # expensive inputs are already parquet-staged so each write is a
         # cheap scan+write, and overlapping them hides per-job latency)
-        from concurrent.futures import ThreadPoolExecutor
-
         to_stage = {
             "frontier": frontier_next,
             "seen": seen_add,
@@ -655,12 +696,15 @@ class CrawlEngine:
             to_stage["seen_sidecar"] = update_cuckoo_sidecar(
                 self._sidecar_df, seen_add, self.sidecar_shards
             )
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        # pool width covers every delta in one wave (7-8 staging jobs of
+        # ~0.5 s driver latency each — 4 workers meant two waves, r06)
+        with ThreadPoolExecutor(max_workers=len(to_stage)) as ex:
             futs = {
                 name: ex.submit(self.store.table(name).stage, df)
                 for name, df in to_stage.items()
             }
             staged = {name: f.result() for name, f in futs.items()}
+        _mark("stage_deltas")
         release(order_rows)  # crawl_order staged: drop the seq checkpoint
         staged["results"] = results_staged  # written once, earlier
         m.results_rows = staged["results"][1]
@@ -683,8 +727,20 @@ class CrawlEngine:
             # not double-append onto the orphaned snapshot
             parents=state["snapshot_ids"],
         )
+        _mark("commit")
         if self.bloom is not None:
-            add_to_bloom(self.bloom, seen_add, "url_hash")
+            # r06: the round's seen delta is already ON DISK (just staged
+            # and committed) and is round-delta sized, so OR it into the
+            # bloom with a driver-side pyarrow read of the staged files —
+            # the r05 shape re-ran a Spark collect job over the same rows
+            # (~0.85 s/round of pure job latency at bench scale). Resume
+            # still uses the distributed add_to_bloom over the full seen
+            # table, where a driver read would not scale.
+            for f in _glob.glob(os.path.join(staged["seen"][0], "*.parquet")):
+                t = _pq.read_table(f, columns=["url_hash"])
+                self.bloom.add(
+                    t["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64))
+        _mark("bloom_update")
         if (self.compact_every is not None
                 and round_no % self.compact_every == 0):
             # rewrite each append-chain table's O(rounds) data dirs into
@@ -696,6 +752,7 @@ class CrawlEngine:
                 self.store.table(name).compact(self.spark)
         if self.expire_keep_last is not None:
             self._expire(round_no)
+        _mark("compact_expire")
         return m
 
     def _expire(self, round_no: int) -> None:
