@@ -348,7 +348,11 @@ def resolve_seen_mode(seen_mode: str, master: str) -> str:
     north-rule scaling evidence covers.
     """
     if seen_mode == "auto":
-        return "anti" if master.startswith("local") else "sidecar"
+        # true local masters only: "local", "local[N]", "local[*]" —
+        # NOT "local-cluster[...]", a multi-JVM pseudo-cluster whose
+        # scaling behavior the anti evidence does not cover (r05 advice)
+        is_local = master == "local" or master.startswith("local[")
+        return "anti" if is_local else "sidecar"
     if seen_mode not in ("anti", "cuckoo", "sidecar"):
         raise ValueError(f"seen_mode {seen_mode!r}")
     return seen_mode

@@ -509,18 +509,23 @@ class RuleParser(HTMLParser):
 
 def _infer_kind(rules, page_url, fields, variants_json, out_links, page_labels):
     """Page kind for real stores (they carry no explicit marker): a page
-    with product fields is a product; a page with product/pagination
-    links is a listing ('category' on the unpaginated entry page, which
-    is the page whose pagination the engine expands — F2); a page with
-    only menu links is the seed.  Anything else parses as a 404."""
-    if fields["name"] is not None and (
-        fields["price_str"] is not None or variants_json is not None
-    ):
-        return "product"
+    with product/pagination links is a listing ('category' on the
+    unpaginated entry page, which is the page whose pagination the
+    engine expands — F2) — EVEN when name+price selectors also matched,
+    because live listing pages carry an h1 (the bare 'h1' name selector
+    of wintergreen/101tea) and price-classed elements inside product
+    cards, and classifying them 'product' would stop link expansion and
+    stall the crawl after the seed (r05 ADVICE); a page with only menu
+    links is the seed; a page with product fields and no listing markup
+    is a product.  Anything else parses as a 404."""
     if out_links or page_labels:
         q = urlsplit(page_url).query
         paged = re.search(rf"(?:^|&){re.escape(rules.page_param)}=\d+", q)
         return "listing" if paged else ("category" if page_labels or not _is_root(page_url) else "seed")
+    if fields["name"] is not None and (
+        fields["price_str"] is not None or variants_json is not None
+    ):
+        return "product"
     return None
 
 

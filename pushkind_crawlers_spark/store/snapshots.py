@@ -166,6 +166,10 @@ class SnapshotTable:
         onto the snapshot its inputs were read from (recorded in the run
         manifest), never onto a possibly-orphaned table ``current`` left
         by a crash between per-table publish and the run-manifest swap.
+        ``parent_id=0`` pins the base to the EMPTY table (first-ever
+        commit): the snapshot is exactly ``path`` even in append mode —
+        the pin a batch-0 replay needs to supersede, not extend, an
+        orphan (r05 advice).
 
         ``expected_current``: compare-and-swap — raise
         :class:`CommitConflictError` when the table's current snapshot is
@@ -181,7 +185,7 @@ class SnapshotTable:
             )
         next_id = (max((s["snapshot_id"] for s in m["snapshots"]), default=0)) + 1
         base = parent_id if parent_id is not None else m["current"]
-        if mode == "append" and base is not None:
+        if mode == "append" and base:  # 0/None = empty base: fresh paths
             parent = self._snapshot(m, base)
             paths = self._snap_paths(parent) + ([path] if row_count > 0 else [])
             total = parent["row_count"] + row_count
@@ -522,9 +526,11 @@ class SnapshotStore:
                 snapshot_ids[name] = t.publish(path, n, props, mode)
                 continue
             try:
+                # parent=0 pins the base to the EMPTY table (first-ever
+                # commit; CAS expects no current snapshot)
                 snapshot_ids[name] = t.publish(
                     path, n, props, mode, parent_id=parent,
-                    expected_current=parent,
+                    expected_current=(parent or None),
                 )
             except CommitConflictError:
                 m = t._read_manifest()

@@ -191,7 +191,12 @@ def make_ingest_sink(spark: SparkSession, store, tables: dict, run_id: str):
                 staged[name] = store.table(name).stage(
                     spark.createDataFrame([], tables[name])
                 )
-            parents = None
+            # first batch: pin every publish to the EMPTY table (r05
+            # advice) — a crash between the table publish and the run
+            # manifest write followed by a checkpoint replay must
+            # SUPERSEDE the orphan snapshot (commit_round's own-orphan
+            # branch), not append batch-0 rows onto it a second time
+            parents = {name: 0 for name in staged}
         else:
             parents = state["snapshot_ids"]
         batches = dict((state or {}).get("ingest_batches", {}))

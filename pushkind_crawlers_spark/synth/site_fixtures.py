@@ -64,6 +64,23 @@ def _menu_html(site: str, hrefs: list[str]) -> str:
     raise KeyError(site)
 
 
+#: per-site markup a LIVE listing page carries that also matches the
+#: site's name/price selectors (bare h1 headings, price-classed elements
+#: inside product cards) — present in the fixtures so the kind inference
+#: is pinned against misclassifying listings as products (r05 ADVICE:
+#: that misclassification stalls the crawl after the seed, and fixtures
+#: without this markup could not catch it)
+_LISTING_DECOY = {
+    "wintergreen": '<h1>Каталог</h1><div class="price">100 ₽</div>',
+    "gutenberg": '<h1 id="pagetitle">Каталог</h1><span class="price_value">100</span>',
+    "101tea": '<h1>Каталог</h1><span class="js-price-val">100</span>',
+    "rusteaco": '<h1 class="product__title">Каталог</h1>'
+                '<span class="product__price-cur">100</span>',
+    "teanadin": '<h1 class="switcher-title">Каталог</h1>'
+                '<span class="price__new-val">100</span>',
+}
+
+
 def _listing_html(site: str, product_hrefs: list[str], labels: list[str]) -> str:
     if site == "wintergreen" or site == "gutenberg":
         items = "".join(
@@ -106,7 +123,8 @@ def _listing_html(site: str, product_hrefs: list[str], labels: list[str]) -> str
         pag = '<div class="pagination-items">' + "".join(
             f'<a class="pagination-link">{x}</a>' for x in labels
         ) + "</div>"
-    return f"<html><body><div>{items}</div>{pag}</body></html>"
+    decoy = _LISTING_DECOY[site]
+    return f"<html><body>{decoy}<div>{items}</div>{pag}</body></html>"
 
 
 def _crumbs(site: str, names: list[str]) -> str:

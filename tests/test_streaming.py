@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -246,6 +248,43 @@ def test_ingest_sink_replay_is_idempotent(spark, tmp_path):
     sink(batch2, 1)  # a NEW batch id still commits
     assert store.table("frontier").read(spark).count() == n0 + 1
     assert store.read_run_state()["ingest_batches"] == {"ri": 1}
+
+
+def test_ingest_sink_batch0_crash_replay_supersedes_orphan(spark, tmp_path):
+    """Batch-0 gap (r05 ADVICE): a crash BETWEEN the table publish and
+    the run-manifest write leaves an orphan snapshot and NO run state;
+    the checkpoint replay re-runs batch 0 against state=None.  The
+    replay must supersede the orphan (publishes pinned to the empty
+    table), not append the same frontier/seen rows onto it twice."""
+    from pushkind_crawlers_spark import schemas
+    from pushkind_crawlers_spark.store.snapshots import SnapshotStore
+    from pushkind_crawlers_spark.streaming.ingest import make_ingest_sink
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    tables = {
+        "frontier": schemas.FRONTIER, "seen": schemas.SEEN,
+        "results": schemas.RESULTS, "rejects": schemas.REJECTS,
+        "images": schemas.IMAGES, "crawl_order": schemas.CRAWL_ORDER,
+        "lineage": schemas.LINEAGE,
+    }
+    for name, sch in tables.items():
+        store.table(name, sch)
+    sink = make_ingest_sink(spark, store, tables, run_id="rc")
+    batch = spark.createDataFrame(
+        [(1, "http://h.test/", "h.test", "0000"),
+         (2, "http://h.test/a", "h.test", "0001")],
+        "url_hash long, url string, host string, ord string",
+    )
+    # crash simulation: batch 0 publishes every table but dies before the
+    # run manifest lands (drop the manifest file the sink just wrote)
+    sink(batch, 0)
+    os.remove(store._run_manifest_path)
+    assert store.read_run_state() is None  # the crashed shape
+    # at-least-once replay of batch 0 against state=None
+    sink(batch, 0)
+    assert store.table("frontier").read(spark).count() == 2  # not 4
+    assert store.table("seen").read(spark).count() == 2
+    assert store.read_run_state()["ingest_batches"] == {"rc": 0}
 
 
 def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
