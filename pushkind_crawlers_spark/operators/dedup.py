@@ -34,6 +34,10 @@ from ..functions.text import md5long, md5long_sql, tokens_col
 
 N_MINHASHES = 8
 SHINGLE_K = 3
+# 60 bits (the md5long width): a 32-bit signature has ~2^16 birthday
+# collisions at 10^9 docs; 60 bits keeps the collision expectation < 1
+# at 10^9 and still fits a signed BIGINT on both engines.
+SIMHASH_BITS = 60
 
 
 def spread_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
@@ -48,10 +52,6 @@ def spread_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
     if df.rdd.getNumPartitions() < n_par:
         return df.repartition(n_par, F.col(key_col))
     return df
-# 60 bits (the md5long width): a 32-bit signature has ~2^16 birthday
-# collisions at 10^9 docs; 60 bits keeps the collision expectation < 1
-# at 10^9 and still fits a signed BIGINT on both engines.
-SIMHASH_BITS = 60
 
 
 # ------------------------------------------------------------------ exact
